@@ -1,0 +1,179 @@
+"""Equirectangular environment maps: sampling, mips, CDF importance data.
+
+TPU-native version of the reference env pipeline:
+
+- direction <-> equirect uv transforms
+  (`/root/reference/src/ssgi/shader/ssgi_utils.frag:64-92`),
+- luminance-CDF inversion textures built in a Web Worker by the reference
+  (`/root/reference/src/ssgi/utils/EquirectHdrInfoUniform.js:149-245`) —
+  here a plain host-side numpy precompute producing the same
+  marginal/conditional lookup arrays,
+- mip chain for blurred env fetches (``envBlur``, `ssgi.frag:322-327`).
+"""
+
+from __future__ import annotations
+
+import chex
+import jax.numpy as jnp
+import numpy as np
+
+from .math3d import luminance
+from .sampling import build_mip_chain, sample_bilinear, sample_bilinear_mip
+
+
+@chex.dataclass(frozen=True)
+class EquirectEnv:
+    """Device-side environment bundle (pytree).
+
+    ``mips`` is a tuple of (H, W, 3) arrays; ``marginal`` is (H,) and
+    ``conditional`` (H, W) inverse-CDF lookup arrays matching the
+    reference's marginal/conditional weight textures.
+    """
+
+    mips: tuple
+    marginal: jnp.ndarray
+    conditional: jnp.ndarray
+    total_sum: jnp.ndarray  # scalar luminance sum
+
+    @property
+    def map(self) -> jnp.ndarray:
+        return self.mips[0]
+
+    @property
+    def size(self) -> tuple:
+        return self.mips[0].shape[0], self.mips[0].shape[1]
+
+    @property
+    def max_mip_level(self) -> int:
+        return len(self.mips) - 1
+
+
+def direction_to_equirect_uv(direction: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) world direction -> equirect uv (`ssgi_utils.frag:64-74`)."""
+    u = jnp.arctan2(direction[..., 2], direction[..., 0]) / (2.0 * jnp.pi) + 0.5
+    v = 1.0 - jnp.arccos(jnp.clip(direction[..., 1], -1.0, 1.0)) / jnp.pi
+    return jnp.stack([u, v], axis=-1)
+
+
+def equirect_uv_to_direction(uv: jnp.ndarray) -> jnp.ndarray:
+    """Equirect uv -> (..., 3) world direction (`ssgi_utils.frag:77-86`)."""
+    u = uv[..., 0] - 0.5
+    v = 1.0 - uv[..., 1]
+    theta = u * 2.0 * jnp.pi
+    phi = v * jnp.pi
+    sin_phi = jnp.sin(phi)
+    return jnp.stack(
+        [sin_phi * jnp.cos(theta), jnp.cos(phi), sin_phi * jnp.sin(theta)], axis=-1
+    )
+
+
+def sample_equirect_color(env: EquirectEnv, direction: jnp.ndarray, lod) -> jnp.ndarray:
+    """``sampleEquirectEnvMapColor`` (`ssgi_utils.frag:90-92`) with mips."""
+    uv = direction_to_equirect_uv(direction)
+    return sample_bilinear_mip(list(env.mips), uv, lod)
+
+
+def equirect_direction_pdf(direction: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of an equirect texel (`ssgi_utils.frag:196-205`)."""
+    uv = direction_to_equirect_uv(direction)
+    sin_theta = jnp.sin(uv[..., 1] * jnp.pi)
+    pdf = 1.0 / (2.0 * jnp.pi * jnp.pi * jnp.maximum(sin_theta, 1e-8))
+    return jnp.where(sin_theta == 0.0, 0.0, pdf)
+
+
+def sample_equirect_probability(env: EquirectEnv, noise2: jnp.ndarray):
+    """Importance-sample the env CDF (`ssgi_utils.frag:210-225`).
+
+    ``noise2``: (..., 2) uniforms. Returns (pdf, direction) where pdf is
+    ``width*height * lum/totalSum`` exactly like the reference.
+    """
+    h, w = env.size
+    # marginal: 1D lookup by noise.x  -> row v in [0,1]
+    v = sample_bilinear(env.marginal[:, None], jnp.stack(
+        [jnp.zeros_like(noise2[..., 0]), noise2[..., 0]], axis=-1))
+    # conditional: 2D lookup by (noise.y, v) -> column u in [0,1]
+    u = sample_bilinear(env.conditional, jnp.stack([noise2[..., 1], v], axis=-1))
+    uv = jnp.stack([u, v], axis=-1)
+    direction = equirect_uv_to_direction(uv)
+    color = sample_bilinear(env.map, uv)
+    lum = luminance(color)
+    pdf = lum / env.total_sum
+    return (w * h) * pdf, direction
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction (the Web Worker's job, EquirectHdrInfoUniform.js)
+# ---------------------------------------------------------------------------
+
+def _binary_search_rows(cdf: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Vectorized equivalent of ``binarySearchFindClosestIndexOf``."""
+    return np.searchsorted(cdf, targets, side="left")
+
+
+def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> EquirectEnv:
+    """Build the env bundle from an (H, W, 3) float HDR image.
+
+    Mirrors ``gatherData`` (`EquirectHdrInfoUniform.js:149-245`): luminance
+    pdf/cdf per row (conditional) and across rows (marginal), inverted into
+    lookup arrays with half-texel centering.
+    """
+    data = np.asarray(data, np.float32)
+    h, w = data.shape[:2]
+    lum = (
+        0.2125 * data[..., 0] + 0.7154 * data[..., 1] + 0.0721 * data[..., 2]
+    ).astype(np.float64)
+
+    row_sums = lum.sum(axis=1)                     # (H,)
+    total = float(lum.sum())
+    cdf_cond = np.cumsum(lum, axis=1)
+    safe_rows = np.where(row_sums > 0.0, row_sums, 1.0)
+    cdf_cond = cdf_cond / safe_rows[:, None]
+    cdf_marg = np.cumsum(row_sums)
+    if total > 0:
+        cdf_marg = cdf_marg / total
+
+    # marginal inverse CDF: for each i, first row whose cdf >= (i+1)/h
+    targets = (np.arange(h) + 1.0) / h
+    rows = _binary_search_rows(cdf_marg, targets)
+    marginal = ((np.clip(rows, 0, h - 1) + 0.5) / h).astype(np.float32)
+
+    # conditional inverse CDF per row
+    targets_x = (np.arange(w) + 1.0) / w
+    cols = np.empty((h, w), np.int64)
+    for y in range(h):
+        cols[y] = _binary_search_rows(cdf_cond[y], targets_x)
+    conditional = ((np.clip(cols, 0, w - 1) + 0.5) / w).astype(np.float32)
+
+    mips = tuple(build_mip_chain(jnp.asarray(data), max_levels=max_mip_levels))
+    return EquirectEnv(
+        mips=mips,
+        marginal=jnp.asarray(marginal),
+        conditional=jnp.asarray(conditional),
+        total_sum=jnp.asarray(total, jnp.float32),
+    )
+
+
+def procedural_sky(height: int = 64, width: int = 128, sun_dir=(0.5, 0.6, 0.3),
+                   sun_intensity: float = 40.0, sky_tint=(0.35, 0.55, 0.95),
+                   ground_tint=(0.25, 0.22, 0.2)) -> np.ndarray:
+    """Simple analytic HDR sky for demos/tests (gradient + sun disk)."""
+    v, u = np.meshgrid(
+        (np.arange(height) + 0.5) / height, (np.arange(width) + 0.5) / width,
+        indexing="ij",
+    )
+    theta = (u - 0.5) * 2.0 * np.pi
+    phi = (1.0 - v) * np.pi
+    d = np.stack(
+        [np.sin(phi) * np.cos(theta), np.cos(phi), np.sin(phi) * np.sin(theta)],
+        axis=-1,
+    )
+    sun = np.asarray(sun_dir, np.float64)
+    sun /= np.linalg.norm(sun)
+    cos_sun = (d * sun).sum(-1)
+    up = np.clip(d[..., 1], -1.0, 1.0)
+    sky = np.asarray(sky_tint)[None, None] * (0.4 + 0.6 * np.clip(up, 0, 1))[..., None]
+    ground = np.asarray(ground_tint)[None, None] * (0.3 - 0.2 * np.clip(up, -1, 0))[..., None]
+    base = np.where(up[..., None] >= 0.0, sky, ground)
+    sun_disk = sun_intensity * np.clip(cos_sun - 0.995, 0.0, 1.0)[..., None] * 200.0
+    halo = 0.5 * np.clip(cos_sun, 0.0, 1.0)[..., None] ** 8
+    return (base + sun_disk + halo).astype(np.float32)

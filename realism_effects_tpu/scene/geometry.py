@@ -1,0 +1,156 @@
+"""Mesh geometry primitives for demo scenes and test fixtures.
+
+The reference leans on three.js + glTF assets for its scenes
+(`/root/reference/example/main.js`); the TPU build keeps a tiny
+self-contained geometry kit (box / plane / uv-sphere) so tests and
+benchmarks need no external assets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Material:
+    """PBR material subset the G-buffer stores (`gbuffer_packing.glsl:3-9`)."""
+
+    diffuse: tuple = (0.8, 0.8, 0.8, 1.0)
+    roughness: float = 1.0
+    metalness: float = 0.0
+    emissive: tuple = (0.0, 0.0, 0.0)
+
+    def as_row(self) -> np.ndarray:
+        return np.array(
+            [*self.diffuse, self.roughness, self.metalness, *self.emissive],
+            np.float32,
+        )
+
+
+MATERIAL_ROW_SIZE = 9  # rgba, roughness, metalness, emissive rgb
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Triangle mesh with a model transform and its previous-frame
+    transform (for per-object velocity, `VelocityDepthNormalPass.js:55-64`)."""
+
+    positions: np.ndarray  # (V, 3) float32, object space
+    normals: np.ndarray    # (V, 3) float32, object space
+    faces: np.ndarray      # (F, 3) int32
+    material: Material = dataclasses.field(default_factory=Material)
+    matrix_world: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
+    prev_matrix_world: np.ndarray | None = None
+
+    def set_matrix(self, m: np.ndarray):
+        if self.prev_matrix_world is None:
+            self.prev_matrix_world = np.asarray(m, np.float64).copy()
+        else:
+            self.prev_matrix_world = np.asarray(self.matrix_world, np.float64).copy()
+        self.matrix_world = np.asarray(m, np.float64)
+
+    def commit_frame(self):
+        """Snapshot current transform as previous (end-of-frame bookkeeping,
+        like the per-mesh ``prevVelocityMatrix`` save in
+        `VelocityDepthNormalPass.js:138-146`)."""
+        self.prev_matrix_world = np.asarray(self.matrix_world, np.float64).copy()
+
+
+def translation(x, y, z) -> np.ndarray:
+    m = np.eye(4)
+    m[:3, 3] = (x, y, z)
+    return m
+
+
+def rotation_y(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    m = np.eye(4)
+    m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
+    return m
+
+
+def rotation_x(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    m = np.eye(4)
+    m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
+    return m
+
+
+def scale(sx, sy=None, sz=None) -> np.ndarray:
+    sy = sx if sy is None else sy
+    sz = sx if sz is None else sz
+    return np.diag([sx, sy, sz, 1.0])
+
+
+def make_plane(size: float = 1.0, material: Material | None = None) -> Mesh:
+    """XZ plane centered at origin, +Y normal."""
+    s = size * 0.5
+    positions = np.array(
+        [[-s, 0, -s], [s, 0, -s], [s, 0, s], [-s, 0, s]], np.float32
+    )
+    normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    faces = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    return Mesh(positions, normals, faces, material or Material())
+
+
+def make_box(size=(1.0, 1.0, 1.0), material: Material | None = None) -> Mesh:
+    sx, sy, sz = (size, size, size) if np.isscalar(size) else size
+    hx, hy, hz = sx / 2, sy / 2, sz / 2
+    # 6 faces, 4 verts each with face normals
+    face_defs = [
+        ((1, 0, 0), [(hx, -hy, -hz), (hx, hy, -hz), (hx, hy, hz), (hx, -hy, hz)]),
+        ((-1, 0, 0), [(-hx, -hy, hz), (-hx, hy, hz), (-hx, hy, -hz), (-hx, -hy, -hz)]),
+        ((0, 1, 0), [(-hx, hy, -hz), (-hx, hy, hz), (hx, hy, hz), (hx, hy, -hz)]),
+        ((0, -1, 0), [(-hx, -hy, hz), (-hx, -hy, -hz), (hx, -hy, -hz), (hx, -hy, hz)]),
+        ((0, 0, 1), [(-hx, -hy, hz), (hx, -hy, hz), (hx, hy, hz), (-hx, hy, hz)]),
+        ((0, 0, -1), [(hx, -hy, -hz), (-hx, -hy, -hz), (-hx, hy, -hz), (hx, hy, -hz)]),
+    ]
+    positions, normals, faces = [], [], []
+    for i, (n, quad) in enumerate(face_defs):
+        base = 4 * i
+        positions.extend(quad)
+        normals.extend([n] * 4)
+        faces.append([base, base + 1, base + 2])
+        faces.append([base, base + 2, base + 3])
+    return Mesh(
+        np.asarray(positions, np.float32),
+        np.asarray(normals, np.float32),
+        np.asarray(faces, np.int32),
+        material or Material(),
+    )
+
+
+def make_sphere(radius: float = 0.5, width_segments: int = 24,
+                height_segments: int = 16, material: Material | None = None) -> Mesh:
+    positions, normals = [], []
+    for iy in range(height_segments + 1):
+        v = iy / height_segments
+        phi = v * np.pi
+        for ix in range(width_segments + 1):
+            u = ix / width_segments
+            theta = u * 2 * np.pi
+            n = np.array(
+                [np.sin(phi) * np.cos(theta), np.cos(phi), np.sin(phi) * np.sin(theta)]
+            )
+            normals.append(n)
+            positions.append(n * radius)
+    faces = []
+    stride = width_segments + 1
+    for iy in range(height_segments):
+        for ix in range(width_segments):
+            a = iy * stride + ix
+            b = a + 1
+            c = a + stride
+            d = c + 1
+            if iy != 0:
+                faces.append([a, b, c])
+            if iy != height_segments - 1:
+                faces.append([b, d, c])
+    return Mesh(
+        np.asarray(positions, np.float32),
+        np.asarray(normals, np.float32),
+        np.asarray(faces, np.int32),
+        material or Material(),
+    )
