@@ -1,0 +1,80 @@
+"""Benchmark: frame time of the flagship post-processing stack.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md north star): full SSGI+HBAO+TRAA+motion-blur stack
+at 1080p in < 8 ms/frame on one v5e chip. vs_baseline = baseline_ms /
+measured_ms (>1 means faster than target).
+
+The stack benched here grows as effects land; the metric name always
+reflects the current flagship pipeline at 1920x1080.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MS = 8.0
+WIDTH, HEIGHT = 1920, 1080
+WARMUP = 3
+ITERS = 20
+
+
+def build_composer():
+    from realism_effects_tpu.composer import EffectComposer
+    from realism_effects_tpu.core.camera import PerspectiveCamera
+    from realism_effects_tpu.effects.traa import TRAAEffect
+    from realism_effects_tpu.scene.geometry import (
+        Material, make_box, make_plane, make_sphere, translation,
+    )
+    from realism_effects_tpu.scene.scene import Scene
+
+    scene = Scene()
+    scene.add(make_plane(20, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
+    box = scene.add(make_box((1, 1, 1), Material(diffuse=(0.9, 0.3, 0.2, 1.0))))
+    box.set_matrix(translation(0, 0.5, 0))
+    sph = scene.add(
+        make_sphere(0.6, material=Material(
+            diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.2, metalness=0.8))
+    )
+    sph.set_matrix(translation(1.5, 0.6, 0.5))
+    cam = PerspectiveCamera(50, WIDTH / HEIGHT, 0.1, 100)
+    cam.set_position(3, 2.5, 4)
+    cam.look_at((0, 0.5, 0))
+    composer = EffectComposer(scene, cam, WIDTH, HEIGHT)
+    composer.add_effect(TRAAEffect())
+    return composer, cam
+
+
+def main():
+    composer, cam = build_composer()
+
+    # warmup / compile (camera orbits so velocity paths stay live)
+    for f in range(WARMUP):
+        ang = 0.6 + 0.01 * f
+        cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
+        cam.look_at((0, 0.5, 0))
+        composer.render().block_until_ready()
+
+    times = []
+    for f in range(ITERS):
+        ang = 0.65 + 0.01 * f
+        cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
+        cam.look_at((0, 0.5, 0))
+        t0 = time.perf_counter()
+        composer.render().block_until_ready()
+        times.append((time.perf_counter() - t0) * 1000.0)
+
+    ms = float(np.median(times))
+    print(json.dumps({
+        "metric": "frame_ms_1080p_raster_direct_traa",
+        "value": round(ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
