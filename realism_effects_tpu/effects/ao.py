@@ -1,0 +1,91 @@
+"""AO effects: generic AOEffect orchestrator + HBAO/GTAO variants.
+
+TPU port of `/root/reference/src/ao/AOEffect.js` (AO pass -> Poisson
+denoise -> multiplicative compose), `/root/reference/src/hbao/HBAOEffect.js`
+and `/root/reference/src/gtao/GTAOEffect.js`. The GTAO wiring is fixed
+here (the reference's is broken and unexported — SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ops.ao import AOConfig, gtao, hbao
+from ..ops.compose import ao_compose
+from ..ops.poisson_denoise import PoissonDenoiseConfig, poisson_denoise_ao
+from .base import Effect
+
+
+class AOEffect(Effect):
+    """Base AO orchestrator; subclasses select the AO kernel."""
+
+    name = "ao"
+    kind = "hbao"
+
+    def __init__(self, spp: int = 8, distance: float = 2.0,
+                 distance_power: float = 1.0, power: float = 2.0,
+                 bias: float = 40.0, thickness: float = 0.075,
+                 color=(0.0, 0.0, 0.0), use_normal_texture: bool = True,
+                 denoise_iterations: int = 1, radius: float = 3.0,
+                 phi: float = 0.5, luma_phi: float = 5.0,
+                 depth_phi: float = 2.0, normal_phi: float = 3.25,
+                 animated_noise: bool = True):
+        self.cfg = AOConfig(
+            spp=spp, distance=distance, distance_power=distance_power,
+            bias=bias, thickness=thickness, animated_noise=animated_noise,
+            use_normal_texture=use_normal_texture,
+        )
+        self.denoise_cfg = PoissonDenoiseConfig(
+            iterations=denoise_iterations, radius=radius, phi=phi,
+            luma_phi=luma_phi, depth_phi=depth_phi, normal_phi=normal_phi,
+        )
+        self.power = power
+        self.color = tuple(color)
+
+    def static_key(self):
+        return (self.kind, self.cfg, self.denoise_cfg, self.color)
+
+    def uniforms(self):
+        return {"power": jnp.float32(self.power)}
+
+    def _ao(self, ctx):
+        raise NotImplementedError
+
+    def apply(self, ctx, color, state):
+        normal, ao = self._ao(ctx)
+        if self.denoise_cfg.iterations > 0:
+            ao = poisson_denoise_ao(
+                ao, normal, ctx.gbuffer, ctx.frame_index, self.denoise_cfg
+            )
+        out = ao_compose(
+            color, ao, ctx.gbuffer.depth,
+            power=ctx.params[self.name]["power"], ao_color=self.color,
+        )
+        return out, state
+
+
+class HBAOEffect(AOEffect):
+    """Horizon-based AO (`HBAOEffect.js` + K8)."""
+
+    name = "hbao"
+    kind = "hbao"
+
+    def _ao(self, ctx):
+        normal = ctx.gbuffer.normal if self.cfg.use_normal_texture else None
+        return hbao(
+            ctx.gbuffer.depth, normal, ctx.unjittered_cam,
+            ctx.frame_index, self.cfg,
+        )
+
+
+class GTAOEffect(AOEffect):
+    """Ground-truth AO variant (`GTAOEffect.js` + K9), wiring repaired."""
+
+    name = "gtao"
+    kind = "gtao"
+
+    def _ao(self, ctx):
+        ao = gtao(ctx.gbuffer.depth, ctx.unjittered_cam, ctx.frame_index, self.cfg)
+        return ctx.gbuffer.normal, ao

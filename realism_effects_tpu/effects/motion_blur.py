@@ -1,0 +1,46 @@
+"""Per-object motion blur (kernel K12).
+
+TPU port of `/root/reference/src/motion-blur/MotionBlurEffect.js` +
+`shader/motion_blur.frag`: a ``samples``-tap jittered line integral along
+the per-pixel velocity, frame-rate normalized by ``frameSpeed =
+(1/100)/deltaTime``, blue-noise jittered start/end UVs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.math3d import mix, uv_grid
+from ..core.rng import blue_noise_image
+from ..core.sampling import sample_bilinear
+from ..ops import motion_blur as _op  # re-export site for ops parity
+from .base import Effect
+
+
+class MotionBlurEffect(Effect):
+    name = "motion_blur"
+
+    def __init__(self, intensity: float = 1.0, jitter: float = 1.0,
+                 samples: int = 16):
+        self.intensity = intensity
+        self.jitter = jitter
+        self.samples = int(samples)
+
+    def static_key(self):
+        return (self.samples,)
+
+    def uniforms(self):
+        return {
+            "intensity": jnp.float32(self.intensity),
+            "jitter": jnp.float32(self.jitter),
+            "delta_time": jnp.float32(1.0 / 60.0),
+        }
+
+    def apply(self, ctx, color, state):
+        u = ctx.params[self.name]
+        out = _op.motion_blur(
+            color, ctx.velocity.velocity, ctx.frame_index,
+            intensity=u["intensity"], jitter=u["jitter"],
+            delta_time=u["delta_time"], samples=self.samples,
+        )
+        return out, state

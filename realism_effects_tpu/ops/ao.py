@@ -1,0 +1,219 @@
+"""Ambient occlusion kernels: HBAO (K8) and GTAO (K9).
+
+TPU re-implementations of
+`/root/reference/src/hbao/shader/hbao.frag` + `hbao_utils.glsl` and
+`/root/reference/src/gtao/shader/gtao.frag`. The per-pixel ``spp`` loops
+are static Python loops over fully vectorized whole-image sample steps;
+every texture fetch is a gather from the depth plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math3d
+from ..core.brdf import cosine_sample_hemisphere
+from ..core.math3d import screen_to_world, smoothstep, uv_grid
+from ..core.rng import blue_noise_image
+from ..core.sampling import sample_bilinear, texel_fetch
+
+
+@dataclasses.dataclass(frozen=True)
+class AOConfig:
+    """Static knobs; defaults mirror ``defaultAOOptions``
+    (`/root/reference/src/ao/AOEffect.js:8-21`)."""
+
+    spp: int = 8
+    distance: float = 2.0
+    distance_power: float = 1.0
+    bias: float = 40.0
+    thickness: float = 0.075
+    animated_noise: bool = True
+    #: use G-buffer normals instead of depth-derived ones
+    use_normal_texture: bool = True
+
+
+def depth_world_normals(depth: jnp.ndarray, cam) -> jnp.ndarray:
+    """World normals from the depth buffer via the 9-tap curvature-aware
+    stencil (`hbao_utils.glsl:46-68`), vectorized with shifted slices.
+
+    Returns (H, W, 3).
+    """
+    h, w = depth.shape
+    uv = uv_grid(h, w)
+
+    def world_pos(d, uvx):
+        return screen_to_world(
+            uvx, d, cam.camera_matrix_world, cam.projection_matrix_inverse
+        )
+
+    pad = jnp.pad(depth, 2, mode="edge")
+    sh = lambda dy, dx: pad[2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
+    c0 = depth
+    l1, l2 = sh(0, -1), sh(0, -2)
+    r1, r2 = sh(0, 1), sh(0, 2)
+    b1, b2 = sh(-1, 0), sh(-2, 0)
+    t1, t2 = sh(1, 0), sh(2, 0)
+
+    dl = jnp.abs(2.0 * l1 - l2 - c0)
+    dr = jnp.abs(2.0 * r1 - r2 - c0)
+    db = jnp.abs(2.0 * b1 - b2 - c0)
+    dt = jnp.abs(2.0 * t1 - t2 - c0)
+
+    ce = world_pos(c0, uv)
+    px = jnp.array([1.0 / w, 0.0])
+    py = jnp.array([0.0, 1.0 / h])
+    wp_l = world_pos(l1, uv - px)
+    wp_r = world_pos(r1, uv + px)
+    wp_b = world_pos(b1, uv - py)
+    wp_t = world_pos(t1, uv + py)
+
+    dpdx = jnp.where((dl < dr)[..., None], ce - wp_l, wp_r - ce)
+    dpdy = jnp.where((db < dt)[..., None], ce - wp_b, wp_t - ce)
+    return math3d.normalize(jnp.cross(dpdx, dpdy))
+
+
+def _depth_world_normals_at(depth: jnp.ndarray, uv: jnp.ndarray, cam) -> jnp.ndarray:
+    """Depth-derived normals at arbitrary uv (gather version, used by GTAO
+    per-sample normal fetch, `gtao.frag:110`)."""
+    h, w = depth.shape
+    px = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    py = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+
+    f = lambda dx, dy: texel_fetch(depth, px + dx, py + dy)
+    c0 = f(0, 0)
+    l1, l2, r1, r2 = f(-1, 0), f(-2, 0), f(1, 0), f(2, 0)
+    b1, b2, t1, t2 = f(0, -1), f(0, -2), f(0, 1), f(0, 2)
+
+    dl = jnp.abs(2.0 * l1 - l2 - c0)
+    dr = jnp.abs(2.0 * r1 - r2 - c0)
+    db = jnp.abs(2.0 * b1 - b2 - c0)
+    dt = jnp.abs(2.0 * t1 - t2 - c0)
+
+    def world_pos(d, uvx):
+        return screen_to_world(
+            uvx, d, cam.camera_matrix_world, cam.projection_matrix_inverse
+        )
+
+    pxv = jnp.stack([jnp.full_like(c0, 1.0 / w), jnp.zeros_like(c0)], -1)
+    pyv = jnp.stack([jnp.zeros_like(c0), jnp.full_like(c0, 1.0 / h)], -1)
+    ce = world_pos(c0, uv)
+    dpdx = jnp.where(
+        (dl < dr)[..., None], ce - world_pos(l1, uv - pxv), world_pos(r1, uv + pxv) - ce
+    )
+    dpdy = jnp.where(
+        (db < dt)[..., None], ce - world_pos(b1, uv - pyv), world_pos(t1, uv + pyv) - ce
+    )
+    return math3d.normalize(jnp.cross(dpdx, dpdy))
+
+
+def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
+         cfg: AOConfig):
+    """HBAO kernel (K8). Returns (normal (H, W, 3), ao (H, W)).
+
+    ``normal``: world normals (G-buffer); None selects the depth-derived
+    path (`hbao_utils.glsl:70-79`).
+    """
+    h, w = depth.shape
+    uv = uv_grid(h, w)
+    world_pos = screen_to_world(
+        uv, depth, cam.camera_matrix_world, cam.projection_matrix_inverse
+    )
+    if normal is None or not cfg.use_normal_texture:
+        world_normal = depth_world_normals(depth, cam)
+    else:
+        world_normal = normal
+
+    cam_pos = cam.position
+    proj_view = cam.projection_view_matrix
+
+    ao = jnp.zeros((h, w), jnp.float32)
+    total_weight = jnp.zeros((h, w), jnp.float32)
+    for i in range(cfg.spp):
+        seed = jnp.asarray(i, jnp.int32) + (frame if cfg.animated_noise else 0)
+        noise = blue_noise_image(h, w, seed)
+
+        sample_dir = cosine_sample_hemisphere(world_normal, noise[..., :2])
+        dist = cfg.distance * noise[..., 2] ** (cfg.distance_power + 1.0)
+        sample_pos = world_pos + dist[..., None] * sample_dir
+
+        clip, cw = math3d.transform_point_nodiv(proj_view, sample_pos)
+        safe_w = jnp.where(jnp.abs(cw) > 1e-8, cw, 1e-8)
+        sample_uv = clip[..., :2] / safe_w[..., None] * 0.5 + 0.5
+        sample_depth = sample_bilinear(depth, sample_uv)
+
+        delta_depth = depth - sample_depth
+        d = jnp.linalg.norm(sample_pos - cam_pos, axis=-1)
+        delta_depth = delta_depth * 0.001 * d * d
+        th = cfg.thickness * 0.01
+
+        theta = math3d.dot(world_normal, sample_dir)
+        total_weight = total_weight + theta
+
+        horizon = sample_depth + delta_depth * cfg.bias * 1000.0
+        occlusion = jnp.maximum(0.0, horizon - depth) * theta
+        m = jnp.maximum(0.0, 1.0 - delta_depth / th)
+        occlusion = jnp.sqrt(
+            jnp.maximum(10.0 * occlusion * m / jnp.maximum(d, 1e-6), 0.0)
+        )
+        ao = ao + jnp.where(delta_depth < th, occlusion, 0.0)
+
+    ao = jnp.where(total_weight > 0.0, ao / total_weight, ao)
+    ao = jnp.clip(1.0 - ao, 0.0, 1.0)
+    ao = jnp.where(depth >= 1.0, 1.0, ao)  # background discard
+    return world_normal, ao
+
+
+# 16-point Vogel disk (`gtao.frag:69-75` uses a baked table; we generate
+# the same spiral shape)
+def _vogel16() -> np.ndarray:
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    i = np.arange(16, dtype=np.float64)
+    r = np.sqrt(i / 16.0)
+    theta = i * golden
+    return np.stack([r * np.cos(theta), r * np.sin(theta)], -1).astype(np.float32)
+
+
+def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
+    """GTAO kernel (K9): 16 Vogel-disk samples, depth-diff^4 + normal-dot
+    occlusion (`gtao.frag:77-125`). Returns ao (H, W)."""
+    h, w = depth.shape
+    uv = uv_grid(h, w)
+    normal = depth_world_normals(depth, cam)
+    world_pos = screen_to_world(
+        uv, depth, cam.camera_matrix_world, cam.projection_matrix_inverse
+    )
+    view_z = jnp.abs(math3d.perspective_depth_to_view_z(depth, cam.near, cam.far))
+
+    vogel = jnp.asarray(_vogel16())
+    radius = 0.25
+    proj_view = cam.projection_view_matrix
+
+    ao = jnp.zeros((h, w), jnp.float32)
+    base_index = frame if cfg.animated_noise else 0
+    for i in range(16):
+        noise = blue_noise_image(h, w, jnp.asarray(base_index) * 16 + i)
+        a = vogel[i] * 0.5 + 0.5
+        sample_dir = cosine_sample_hemisphere(
+            normal, jnp.broadcast_to(a, uv.shape)
+        )
+        sample_pos = world_pos + 4.0 * noise[..., 0:1] * radius * sample_dir
+
+        clip, cw = math3d.transform_point_nodiv(proj_view, sample_pos)
+        safe_w = jnp.where(jnp.abs(cw) > 1e-8, cw, 1e-8)
+        sample_uv = clip[..., :2] / safe_w[..., None] * 0.5 + 0.5
+
+        sample_depth = sample_bilinear(depth, sample_uv)
+        sample_normal = _depth_world_normals_at(depth, sample_uv, cam)
+        sample_view_z = jnp.abs(
+            math3d.perspective_depth_to_view_z(sample_depth, cam.near, cam.far)
+        )
+        depth_diff = jnp.maximum(0.0, view_z - sample_view_z) ** 4.0
+        normal_dot = math3d.dot(normal, sample_normal)
+        ao = ao + smoothstep(0.0, 1.0, 1.0 - depth_diff) * normal_dot
+
+    ao = ao / 16.0
+    return jnp.where(depth >= 1.0, 1.0, jnp.clip(ao, 0.0, 1.0))

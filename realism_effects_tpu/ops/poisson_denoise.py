@@ -1,0 +1,192 @@
+"""Edge-aware spatio-temporal Poisson denoiser (kernel K6).
+
+TPU re-implementation of
+`/root/reference/src/denoise/shader/poisson_denoise.frag` +
+`/root/reference/src/denoise/pass/PoissonDenoisePass.js`: 8 rotated
+Poisson taps with normal/depth/roughness/luma edge-stopping weights and
+disocclusion-age blending, run as ``2 * iterations`` ping-pong passes.
+
+The rotated, flatness-scaled tap offsets are per-pixel, so taps are
+bilinear gathers (the one pattern XLA can't turn into shifted adds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.framebuffers import GBuffer
+from ..core.math3d import fwidth, mix, uv_grid
+from ..core.rng import blue_noise_image
+from ..core.sampling import sample_bilinear
+
+_SQRT2_4 = 0.25 * float(np.sqrt(2.0))
+# `poisson_denoise.frag:91-92`
+POISSON8 = np.array(
+    [
+        (-1.0, 0.0), (0.0, -1.0), (1.0, 0.0), (0.0, 1.0),
+        (-_SQRT2_4, -_SQRT2_4), (_SQRT2_4, -_SQRT2_4),
+        (_SQRT2_4, _SQRT2_4), (-_SQRT2_4, _SQRT2_4),
+    ],
+    np.float32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonDenoiseConfig:
+    """Defaults mirror ``defaultPoissonBlurOptions``
+    (`PoissonDenoisePass.js:16-24`) + SSGI option overrides."""
+
+    iterations: int = 1
+    radius: float = 3.0
+    phi: float = 0.5
+    luma_phi: float = 5.0
+    depth_phi: float = 2.0
+    normal_phi: float = 3.25
+    roughness_phi: float = 50.0
+    specular_phi: float = 50.0
+    #: which input slots hold specular data
+    is_specular: tuple = (False,)
+
+
+def _to_denoise_space(c):
+    return jnp.log(c + 1.0)
+
+
+def _to_linear_space(c):
+    return jnp.exp(c) - 1.0
+
+
+def _luminance8(rgb):
+    """pow(luminance, 0.125) (`poisson_denoise.frag:28`)."""
+    base = rgb[..., 0] * 0.2125 + rgb[..., 1] * 0.7154 + rgb[..., 2] * 0.0721
+    return jnp.maximum(base, 0.0) ** 0.125
+
+
+def poisson_denoise_pass(
+    textures: Sequence[jnp.ndarray],
+    gbuffer: GBuffer,
+    noise_index,
+    cfg: PoissonDenoiseConfig,
+):
+    """One 8-tap pass over all texture slots. (H, W, 4) in/out per slot."""
+    h, w = gbuffer.depth.shape
+    uv = uv_grid(h, w)
+    depth = gbuffer.depth
+    normal = gbuffer.normal
+    roughness = gbuffer.roughness
+    is_background = depth >= 1.0
+
+    glossiness = jnp.maximum(0.0, 4.0 * (1.0 - roughness / 0.25))
+    specular_factor = jnp.exp(-glossiness * cfg.specular_phi)
+
+    flatness = 1.0 - jnp.minimum(
+        jnp.linalg.norm(fwidth(normal), axis=-1), 1.0
+    )
+    flatness = flatness ** 2.0 * 0.75 + 0.25
+
+    noise = blue_noise_image(h, w, noise_index)
+    angle = noise[..., 0] * 2.0 * jnp.pi
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    rscale = cfg.radius * flatness
+
+    # per-slot accumulators
+    center = []
+    for i, tex in enumerate(textures):
+        t_rgb = _to_denoise_space(tex[..., :3] * 1.0003)  # `:156` brighten hack
+        age = 1.0 / (tex[..., 3] + 1.0) ** (1.2 * cfg.phi)
+        center.append({
+            "rgb": t_rgb,
+            "a": tex[..., 3],
+            "lum": _luminance8(t_rgb),
+            "w": age,
+            "total": jnp.ones((h, w), jnp.float32),
+            "acc": t_rgb,
+        })
+
+    res = jnp.array([w, h], jnp.float32)
+    for k in range(8):
+        off = POISSON8[k]
+        ox = (c * off[0] - s * off[1]) * rscale / w
+        oy = (s * off[0] + c * off[1]) * rscale / h
+        n_uv = uv + jnp.stack([ox, oy], axis=-1)
+
+        n_normal = sample_bilinear(normal, n_uv)
+        n_depth = sample_bilinear(depth, n_uv)
+        n_rough = sample_bilinear(roughness, n_uv)
+
+        normal_diff = 1.0 - jnp.maximum(
+            jnp.sum(normal * n_normal, axis=-1), 0.0
+        )
+        depth_diff = 10000.0 * jnp.abs(depth - n_depth)
+        rough_diff = jnp.abs(roughness - n_rough)
+        w_basic = jnp.exp(
+            -normal_diff * cfg.normal_phi
+            - depth_diff * cfg.depth_phi
+            - rough_diff * cfg.roughness_phi
+        )
+        w_basic = jnp.where(n_depth >= 1.0, 0.0, w_basic)
+
+        for i, tex in enumerate(textures):
+            wgt = w_basic * (specular_factor if cfg.is_specular[i] else 1.0)
+            t = sample_bilinear(tex, n_uv)
+            t_rgb = _to_denoise_space(jnp.maximum(t[..., :3], 0.0))
+
+            disoccl_w = jnp.maximum(wgt, 1e-20) ** 0.1
+            luma_diff = jnp.minimum(
+                jnp.abs(center[i]["lum"] - _luminance8(t_rgb)), 0.5
+            )
+            luma_factor = jnp.exp(-luma_diff * cfg.luma_phi)
+            age = center[i]["w"]
+            wgt = mix(wgt * luma_factor, disoccl_w, age) * age
+            wgt = wgt * (wgt >= 0.0001)
+
+            center[i]["acc"] = center[i]["acc"] + wgt[..., None] * t_rgb
+            center[i]["total"] = center[i]["total"] + wgt
+
+    outputs = []
+    for i, tex in enumerate(textures):
+        rgb = _to_linear_space(
+            center[i]["acc"] / center[i]["total"][..., None]
+        )
+        out = jnp.concatenate([rgb, center[i]["a"][..., None]], axis=-1)
+        # background discard keeps the input (`poisson_denoise.frag:129-132`)
+        outputs.append(jnp.where(is_background[..., None], tex, out))
+    return outputs
+
+
+def poisson_denoise(
+    textures: Sequence[jnp.ndarray],
+    gbuffer: GBuffer,
+    frame,
+    cfg: PoissonDenoiseConfig,
+):
+    """Full denoise: 2*iterations sequential passes (the ping-pong A/B
+    scheme of `PoissonDenoisePass.js:135-149` expressed as a loop carry).
+    Returns the final texture list (= target B of the last iteration)."""
+    out = list(textures)
+    for p in range(2 * cfg.iterations):
+        out = poisson_denoise_pass(
+            out, gbuffer, jnp.asarray(frame) * 2 * cfg.iterations + p, cfg
+        )
+    return out
+
+
+def poisson_denoise_ao(ao: jnp.ndarray, normal: jnp.ndarray,
+                       gbuffer: GBuffer, frame, cfg: PoissonDenoiseConfig):
+    """AO-specialized denoise: edge-aware blur of the scalar AO channel.
+
+    The reference routes AO through the same shader with duck-typed
+    wiring (`AOEffect.js:57-59`, see SURVEY.md §3.3 caveat); here the AO
+    value is denoised directly with normal/depth weights.
+    """
+    tex = jnp.concatenate(
+        [ao[..., None].repeat(3, axis=-1), jnp.zeros_like(ao)[..., None]],
+        axis=-1,
+    )
+    cfg1 = dataclasses.replace(cfg, is_specular=(False,))
+    (out,) = poisson_denoise([tex], gbuffer, frame, cfg1)
+    return jnp.clip(out[..., 0], 0.0, 1.0)

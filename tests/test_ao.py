@@ -1,0 +1,161 @@
+"""AO path tests: HBAO/GTAO kernels, Poisson denoise, compose, effects."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from realism_effects_tpu.composer import EffectComposer
+from realism_effects_tpu.core.camera import PerspectiveCamera
+from realism_effects_tpu.effects.ao import GTAOEffect, HBAOEffect
+from realism_effects_tpu.ops.ao import AOConfig, depth_world_normals, hbao
+from realism_effects_tpu.ops.poisson_denoise import (
+    PoissonDenoiseConfig, poisson_denoise,
+)
+from realism_effects_tpu.scene.geometry import (
+    Material, make_box, make_plane, translation,
+)
+from realism_effects_tpu.scene.rasterizer import rasterize_gbuffer
+from realism_effects_tpu.scene.scene import Scene
+
+
+def _corner_scene():
+    """Box sitting on a floor: the crease must darken."""
+    scene = Scene()
+    scene.add(make_plane(20, Material(diffuse=(0.7, 0.7, 0.7, 1.0))))
+    box = scene.add(make_box((1.5, 1.5, 1.5), Material(diffuse=(0.7, 0.7, 0.7, 1.0))))
+    box.set_matrix(translation(0, 0.75, 0))
+    cam = PerspectiveCamera(50, 1, 0.1, 100)
+    cam.set_position(3, 2.5, 4)
+    cam.look_at((0, 0.5, 0))
+    return scene, cam
+
+
+class TestDepthNormals:
+    def test_matches_geometric_normals_on_flat_surfaces(self):
+        scene, cam = _corner_scene()
+        m = cam.matrices()
+        gb = rasterize_gbuffer(
+            scene.pack(), scene.model_matrices(), m.projection_view_matrix, 128, 128
+        )
+        dn = np.asarray(depth_world_normals(gb.depth, m))
+        gn = np.asarray(gb.normal)
+        depth = np.asarray(gb.depth)
+        # compare on floor pixels away from edges
+        floor = (gn[..., 1] > 0.99) & (depth < 1.0)
+        agree = (dn * gn).sum(-1)
+        assert np.median(agree[floor]) > 0.95
+
+
+class TestHBAO:
+    def test_crease_darker_than_open_floor(self):
+        scene, cam = _corner_scene()
+        m = cam.matrices()
+        gb = rasterize_gbuffer(
+            scene.pack(), scene.model_matrices(), m.projection_view_matrix, 128, 128
+        )
+        cfg = AOConfig(spp=16)
+        _, ao = hbao(gb.depth, gb.normal, m, jnp.int32(0), cfg)
+        ao = np.asarray(ao)
+        depth = np.asarray(gb.depth)
+        normal = np.asarray(gb.normal)
+        floor = (normal[..., 1] > 0.99) & (depth < 1.0)
+        # crease = floor pixels near the box (screen-space heuristic: look
+        # at the distance to the nearest box pixel)
+        box_face = (np.abs(normal[..., 1]) < 0.5) & (depth < 1.0)
+        ys, xs = np.nonzero(box_face)
+        fy, fx = np.nonzero(floor)
+        d2 = (fy[:, None] - ys[None, :15]) ** 2 + (fx[:, None] - xs[None, :15]) ** 2
+        # simpler: floor pixels adjacent to box columns
+        cols = set(xs.tolist())
+        near = np.zeros_like(floor)
+        for (y, x) in zip(fy, fx):
+            if x in cols:
+                near[y, x] = True
+        near &= floor
+        far = floor & ~near
+        assert ao[floor].min() >= 0.0 and ao[floor].max() <= 1.0
+        assert ao[near].mean() < ao[far].mean() - 0.02, (
+            f"crease {ao[near].mean():.3f} vs open {ao[far].mean():.3f}"
+        )
+
+    def test_background_is_unoccluded(self):
+        scene, cam = _corner_scene()
+        m = cam.matrices()
+        gb = rasterize_gbuffer(
+            scene.pack(), scene.model_matrices(), m.projection_view_matrix, 64, 64
+        )
+        _, ao = hbao(gb.depth, gb.normal, m, jnp.int32(0), AOConfig(spp=4))
+        ao = np.asarray(ao)
+        bg = np.asarray(gb.depth) >= 1.0
+        assert (ao[bg] == 1.0).all()
+
+
+class TestPoissonDenoise:
+    def test_reduces_noise_preserves_edges(self):
+        scene, cam = _corner_scene()
+        m = cam.matrices()
+        gb = rasterize_gbuffer(
+            scene.pack(), scene.model_matrices(), m.projection_view_matrix, 96, 96
+        )
+        rng = np.random.default_rng(0)
+        base = np.full_like(np.asarray(gb.roughness), 0.5)
+        noisy = np.clip(base + rng.normal(0, 0.2, base.shape), 0, 1).astype(np.float32)
+        tex = jnp.asarray(
+            np.concatenate(
+                [np.repeat(noisy[..., None], 3, -1), np.zeros_like(noisy)[..., None]], -1
+            )
+        )
+        cfg = PoissonDenoiseConfig(iterations=2, radius=4.0)
+        (out,) = poisson_denoise([tex], gb, jnp.int32(0), cfg)
+        out = np.asarray(out[..., 0])
+        depth = np.asarray(gb.depth)
+        fg = depth < 1.0
+        noise_before = np.abs(noisy - base)[fg].mean()
+        noise_after = np.abs(out - base)[fg].mean()
+        assert noise_after < noise_before * 0.7
+
+    def test_age_gates_blur(self):
+        """Converged pixels (large alpha) must be blurred much less."""
+        scene, cam = _corner_scene()
+        m = cam.matrices()
+        gb = rasterize_gbuffer(
+            scene.pack(), scene.model_matrices(), m.projection_view_matrix, 64, 64
+        )
+        rng = np.random.default_rng(1)
+        noisy = rng.uniform(0, 1, (64, 64, 1)).astype(np.float32).repeat(3, -1)
+        young = jnp.asarray(np.concatenate([noisy, np.zeros((64, 64, 1), np.float32)], -1))
+        old = jnp.asarray(np.concatenate([noisy, np.full((64, 64, 1), 500.0, np.float32)], -1))
+        cfg = PoissonDenoiseConfig(iterations=1)
+        (out_young,) = poisson_denoise([young], gb, jnp.int32(0), cfg)
+        (out_old,) = poisson_denoise([old], gb, jnp.int32(0), cfg)
+        fg = np.asarray(gb.depth) < 1.0
+        dy = np.abs(np.asarray(out_young[..., :3]) - noisy)[fg].mean()
+        do = np.abs(np.asarray(out_old[..., :3]) - noisy)[fg].mean()
+        assert do < dy * 0.25
+
+
+class TestAOEffects:
+    def test_hbao_effect_in_composer(self):
+        scene, cam = _corner_scene()
+        composer = EffectComposer(scene, cam, 96, 96)
+        composer.add_effect(HBAOEffect(spp=4, denoise_iterations=1))
+        img = np.asarray(composer.render())
+        assert np.isfinite(img).all()
+        img2 = np.asarray(composer.render())
+        assert np.isfinite(img2).all()
+
+    def test_gtao_effect_in_composer(self):
+        scene, cam = _corner_scene()
+        composer = EffectComposer(scene, cam, 64, 64)
+        composer.add_effect(GTAOEffect(denoise_iterations=1))
+        img = np.asarray(composer.render())
+        assert np.isfinite(img).all()
+
+    def test_ao_darkens_image(self):
+        scene, cam = _corner_scene()
+        plain = EffectComposer(scene, cam, 96, 96)
+        base = np.asarray(plain.render())
+        withao = EffectComposer(scene, cam, 96, 96)
+        withao.add_effect(HBAOEffect(spp=8, denoise_iterations=0))
+        img = np.asarray(withao.render())
+        assert img.mean() <= base.mean() + 1e-5
+        assert img.mean() < base.mean() * 0.999
