@@ -1,0 +1,195 @@
+"""SSGI / SSR effects: orchestrate trace -> denoise -> compose.
+
+TPU port of `/root/reference/src/ssgi/SSGIEffect.js` (+ `SSREffect.js`,
+`SSGIOptions.js`, `denoise/Denoiser.js`). The reference's temporal
+feedback topology is reproduced exactly (SURVEY.md §7 "hard parts" #1):
+
+- the SSGI tracer's radiance fetch reads *last frame's* denoiser output
+  (`SSGIPass.js:88`),
+- the temporal reprojector's history is the Poisson denoiser's B target
+  from last frame (`Denoiser.js:51`),
+- both live in this effect's state pytree and update every frame.
+
+``denoise_mode`` mirrors `Denoiser.js:7` ("full" | "full_temporal" |
+"denoised" | "temporal").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ops.compose import ssgi_compose
+from ..ops.denoiser_compose import denoiser_compose
+from ..ops.poisson_denoise import PoissonDenoiseConfig, poisson_denoise
+from ..ops.ssgi import SSGIConfig, ssgi
+from ..ops.temporal_reproject import (
+    TemporalReprojectConfig, temporal_reproject,
+)
+from .base import Effect
+
+#: quality presets (`SSGIEffect.js:79-99`; the reference's duplicated
+#: "medium" case is collapsed, SURVEY.md quirks list)
+SSGI_PRESETS = {
+    "low": dict(steps=10, refine_steps=2, denoise_mode="full_temporal",
+                resolution_scale=0.5),
+    "medium": dict(steps=20, refine_steps=4, denoise_mode="full"),
+}
+
+
+class SSGIEffect(Effect):
+    name = "ssgi"
+
+    #: "ssgi" traces diffuse+specular; "ssr" specular only
+    mode = "ssgi"
+
+    def __init__(self, distance: float = 10.0, thickness: float = 10.0,
+                 env_blur: float = 0.5, importance_sampling: bool = True,
+                 steps: int = 20, refine_steps: int = 5,
+                 missed_rays: bool = False,
+                 denoise_iterations: int = 1, radius: float = 3.0,
+                 phi: float = 0.5, luma_phi: float = 5.0,
+                 depth_phi: float = 2.0, normal_phi: float = 50.0,
+                 roughness_phi: float = 50.0, specular_phi: float = 50.0,
+                 denoise_mode: str = "full",
+                 fog_color=None, fog_density: float = 0.0,
+                 preset: str | None = None,
+                 output_texture: str | None = None):
+        if preset is not None:
+            p = SSGI_PRESETS[preset]
+            steps = p.get("steps", steps)
+            refine_steps = p.get("refine_steps", refine_steps)
+            denoise_mode = p.get("denoise_mode", denoise_mode)
+        self.distance = distance
+        self.thickness = thickness
+        self.env_blur = env_blur
+        self.denoise_mode = denoise_mode
+        self.fog_color = fog_color
+        self.fog_density = fog_density
+        #: debug routing like the reference's ``outputTexture`` option
+        #: (`SSGIEffect.js:228-251`): None | "diffuse" | "specular" |
+        #: "denoised_diffuse" | "denoised_specular" | "composed"
+        self.output_texture = output_texture
+
+        self.cfg = SSGIConfig(
+            mode=self.mode, steps=steps, refine_steps=refine_steps,
+            missed_rays=missed_rays, importance_sampling=importance_sampling,
+        )
+        n_tex = 2 if self.mode == "ssgi" else 1
+        self.temporal_cfg = TemporalReprojectConfig(
+            texture_count=n_tex,
+            log_transform=True,
+            reproject_specular=(False, True) if n_tex == 2 else (True,),
+            neighborhood_clamp=(True,) * n_tex,
+            confidence_power=0.75,
+            input_type="diffuse_specular" if n_tex == 2 else "specular",
+        )
+        self.denoise_cfg = PoissonDenoiseConfig(
+            iterations=denoise_iterations, radius=radius, phi=phi,
+            luma_phi=luma_phi, depth_phi=depth_phi, normal_phi=normal_phi,
+            roughness_phi=roughness_phi, specular_phi=specular_phi,
+            is_specular=(False, True) if n_tex == 2 else (True,),
+        )
+
+    # ------------------------------------------------------------------
+    def static_key(self):
+        return (self.cfg, self.temporal_cfg, self.denoise_cfg,
+                self.denoise_mode, self.output_texture,
+                self.fog_color, self.fog_density)
+
+    def uniforms(self):
+        return {
+            "ray_distance": jnp.float32(self.distance),
+            "thickness": jnp.float32(self.thickness),
+            "env_blur": jnp.float32(self.env_blur),
+        }
+
+    def init_state(self, height, width):
+        n_tex = self.temporal_cfg.texture_count
+        return {
+            "history": [
+                jnp.zeros((height, width, 4), jnp.float32) for _ in range(n_tex)
+            ],
+            "composed": jnp.zeros((height, width, 3), jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def apply(self, ctx, color, state):
+        u = ctx.params[self.name]
+        g = ctx.params["__global__"]
+
+        # 1. stochastic trace; radiance feedback = last frame's composed
+        #    output (`SSGIPass.js:88`)
+        g_diffuse, g_specular = ssgi(
+            ctx.gbuffer, ctx.velocity, state["composed"], color,
+            ctx.env, ctx.cam, ctx.frame_index, self.cfg,
+            ray_distance=u["ray_distance"], thickness=u["thickness"],
+            env_blur=u["env_blur"],
+        )
+        inputs = [g_diffuse, g_specular] if self.mode == "ssgi" else [g_specular]
+
+        # 2. temporal reprojection; history = last frame's denoised B
+        #    (`Denoiser.js:51`), options per `Denoiser.js:33-42`
+        temporal = temporal_reproject(
+            inputs, state["history"],
+            ctx.velocity, ctx.last_velocity,
+            ctx.cam, ctx.prev_cam,
+            self.temporal_cfg,
+            max_blend=1.0,
+            neighborhood_clamp_intensity=0.5,
+            full_accumulate=~g["camera_moved"],
+            keep_data=g["keep_data"],
+            roughness_tex=ctx.gbuffer.roughness,
+        )
+
+        # 3. spatial Poisson denoise (skipped for *_temporal modes)
+        if self.denoise_mode in ("full", "denoised"):
+            denoised = poisson_denoise(
+                temporal, ctx.gbuffer, ctx.frame_index, self.denoise_cfg
+            )
+        else:
+            denoised = temporal
+
+        # 4. final GI composition (K7)
+        if self.mode == "ssgi":
+            d_gi, s_gi = denoised
+            scene_tex = None
+            input_type = "diffuse_specular"
+        else:
+            d_gi = denoised[0]
+            s_gi = denoised[0]
+            scene_tex = color
+            input_type = "specular"
+        composed = denoiser_compose(
+            d_gi, s_gi, ctx.gbuffer, ctx.cam,
+            scene_color=scene_tex, input_type=input_type,
+        )
+
+        # 5. composite over the scene + optional fog (K13)
+        out = ssgi_compose(
+            composed, color, ctx.gbuffer.depth, ctx.cam,
+            fog_color=self.fog_color, fog_density=self.fog_density,
+        )
+
+        new_state = {"history": denoised, "composed": composed}
+
+        if self.output_texture is not None:
+            debug = {
+                "diffuse": g_diffuse[..., :3],
+                "specular": g_specular[..., :3],
+                "temporal_diffuse": temporal[0][..., :3],
+                "temporal_specular": temporal[-1][..., :3],
+                "denoised_diffuse": denoised[0][..., :3],
+                "denoised_specular": denoised[-1][..., :3],
+                "composed": composed,
+            }[self.output_texture]
+            return debug, new_state
+        return out, new_state
+
+
+class SSREffect(SSGIEffect):
+    """Specular-only screen-space reflections (`SSREffect.js:3-9`)."""
+
+    name = "ssr"
+    mode = "ssr"

@@ -1,0 +1,345 @@
+"""SSGI/SSR: stochastic screen-space ray-marched global illumination (K1).
+
+TPU re-implementation of `/root/reference/src/ssgi/shader/ssgi.frag` with
+its sampling library `ssgi_utils.frag` (K2, already in ``core.brdf`` /
+``core.envmap``): per pixel, one GGX-VNDF or cosine-hemisphere or
+env-CDF-importance sample, a fixed-trip masked ray march with exponential
+step easing and binary refinement, radiance fetched from the previous
+frame's denoised output via velocity reprojection, environment fallback
+with MIS.
+
+The reference's per-pixel divergent loops (`ssgi.frag:441-503`) become
+fixed-trip lane-masked loops — every pixel runs ``steps`` iterations with
+hit state carried in masks (TPU-friendly; no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..core import brdf, math3d
+from ..core.envmap import (
+    EquirectEnv, sample_equirect_color, sample_equirect_probability,
+)
+from ..core.framebuffers import GBuffer, VelocityBuffer
+from ..core.math3d import (
+    dot, luminance, mix, normalize, smoothstep, transform_dir_transpose,
+    uv_grid,
+)
+from ..core.rng import blue_noise_image
+from ..core.sampling import sample_bilinear
+
+EPS = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class SSGIConfig:
+    """Static knobs; defaults mirror ``defaultSSGIOptions``
+    (`/root/reference/src/ssgi/SSGIOptions.js:26-48`)."""
+
+    mode: str = "ssgi"               # "ssgi" | "ssr"
+    steps: int = 20
+    refine_steps: int = 5
+    missed_rays: bool = False
+    importance_sampling: bool = True
+    env_lum_clamp: bool = True
+
+
+def _get_view_z(depth, cam):
+    """`ssgi_utils.frag:7-13` (perspective)."""
+    near, far = cam.near, cam.far
+    return (near * far) / ((far - near) * depth - far)
+
+
+def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,
+                          ray_distance, cfg: SSGIConfig):
+    """RayMarch + BinarySearch (`ssgi.frag:441-503`), lane-masked.
+
+    Returns (uv, hit_pos (view), missed) where missed lanes have
+    hit_pos = 1e9 like the reference sentinel.
+    """
+    step_dir = l * (ray_distance / float(cfg.steps))
+
+    hit = jnp.zeros(view_pos.shape[:-1], bool)
+    hit_pos = view_pos
+    uv = math3d.view_to_screen(view_pos, cam.projection_matrix)
+
+    for i in range(1, cfg.steps):
+        cs = 1.0 - jnp.exp(-0.25 * (float(i) + random_b - 0.5) ** 2)
+        advanced = hit_pos + step_dir * cs[..., None]
+        cur_pos = jnp.where(hit[..., None], hit_pos, advanced)
+
+        cur_uv = math3d.view_to_screen(cur_pos, cam.projection_matrix)
+        d = sample_bilinear(depth_tex, cur_uv)
+        z = _get_view_z(d, cam)
+        diff = z - cur_pos[..., 2]
+        newly_hit = (~hit) & (diff >= 0.0) & (diff < thickness)
+
+        uv = jnp.where(hit[..., None], uv, cur_uv)
+        hit_pos = cur_pos
+        hit = hit | newly_hit
+
+    # binary refinement on hit lanes (`ssgi.frag:477-503`)
+    if cfg.refine_steps > 0:
+        bdir = step_dir * 0.5
+        bpos = hit_pos - bdir
+        for _ in range(cfg.refine_steps):
+            b_uv = math3d.view_to_screen(bpos, cam.projection_matrix)
+            d = sample_bilinear(depth_tex, b_uv)
+            z = _get_view_z(d, cam)
+            diff = z - bpos[..., 2]
+            bdir = bdir * 0.5
+            bpos = bpos + jnp.where((diff >= 0.0)[..., None], -bdir, bdir)
+        refined_uv = math3d.view_to_screen(bpos, cam.projection_matrix)
+        uv = jnp.where(hit[..., None], refined_uv, uv)
+        hit_pos = jnp.where(hit[..., None], bpos, hit_pos)
+
+    missed = ~hit
+    hit_pos = jnp.where(missed[..., None], 1.0e9, hit_pos)
+    return uv, hit_pos, missed
+
+
+def _get_env_color(env: EquirectEnv | None, l_view, view_matrix, roughness,
+                   is_diffuse, is_env_sample, env_blur, cfg: SSGIConfig):
+    """`ssgi.frag:311-346`: equirect fetch with roughness-scaled mip and
+    luminance clamping."""
+    if env is None:
+        return jnp.zeros(l_view.shape[:-1] + (3,), jnp.float32)
+    reflected_ws = normalize(transform_dir_transpose(view_matrix, l_view))
+    max_mip = float(env.max_mip_level)
+    mip = env_blur * max_mip
+    mip_scale = jnp.where(
+        (~is_diffuse) & (roughness < 0.15), roughness / 0.15, 1.0
+    )
+    sample = sample_equirect_color(env, reflected_ws, mip * mip_scale)
+    if cfg.env_lum_clamp:
+        max_env_lum = jnp.where(is_env_sample, 100.0, 25.0)
+        env_lum = luminance(sample)
+        scale = jnp.where(
+            env_lum > max_env_lum, max_env_lum / jnp.maximum(env_lum, EPS), 1.0
+        )
+        sample = sample * scale[..., None]
+    return sample
+
+
+def _saturation(c):
+    """`ssgi.frag:348-360`."""
+    mx = jnp.max(c, axis=-1)
+    mn = jnp.min(c, axis=-1)
+    return jnp.where(mx == mn, 0.0, (mx - mn) / jnp.maximum(mx, EPS))
+
+
+def ssgi(
+    gbuffer: GBuffer,
+    velocity: VelocityBuffer,
+    accumulated: jnp.ndarray,        # prev frame's denoised output (H, W, >=3)
+    direct_light: jnp.ndarray,       # lit scene color (H, W, 3)
+    env: EquirectEnv | None,
+    cam,
+    frame,
+    cfg: SSGIConfig,
+    ray_distance=10.0,
+    thickness=10.0,
+    env_blur=0.5,
+):
+    """One SSGI sample per pixel.
+
+    Returns (g_diffuse (H, W, 4), g_specular (H, W, 4)):
+    ``g_diffuse = (diffuseGI | -1, roughness)``,
+    ``g_specular = (specularGI, rayLength)`` matching `ssgi.frag:274-308`
+    (SoA instead of packTwoVec4).
+    """
+    h, w = gbuffer.depth.shape
+    uv = uv_grid(h, w)
+    depth = gbuffer.depth
+    is_bg = depth >= 1.0
+
+    roughness = gbuffer.roughness
+    metalness = gbuffer.metalness
+    diffuse = gbuffer.diffuse[..., :3]
+    roughness_sq = jnp.clip(roughness * roughness, 1e-6, 1.0)
+
+    view_z = _get_view_z(depth, cam)
+    view_pos = math3d.get_view_position(
+        uv, view_z, cam.projection_matrix, cam.projection_matrix_inverse
+    )
+    view_dir = normalize(view_pos)
+    world_normal = gbuffer.normal
+    # world -> view rotation == transpose of camera_matrix_world rotation
+    view_normal = normalize(
+        transform_dir_transpose(cam.camera_matrix_world, world_normal)
+    )
+    world_pos = math3d.transform_point(cam.camera_matrix_world, view_pos)
+
+    n = view_normal
+    v = -view_dir
+    nov = jnp.maximum(EPS, dot(n, v))
+
+    # view dir to world-space (`ssgi.frag:136`)
+    v_world = transform_dir_transpose(cam.view_matrix, v)
+    n_world = world_normal
+    t_w, b_w = brdf.onb(n_world)
+    v_local = brdf.to_local(t_w, b_w, n_world, v_world)
+
+    f0 = mix(jnp.full_like(diffuse, 0.04), diffuse, metalness[..., None])
+
+    random = blue_noise_image(h, w, frame)
+    r1, r2, r3, r4 = (random[..., i] for i in range(4))
+
+    # GGX-VNDF reflection direction (`ssgi.frag:156-166`)
+    h_local = brdf.sample_ggx_vndf(v_local, roughness_sq, roughness_sq, r1, r2)
+    h_local = jnp.where((h_local[..., 2:3] < 0.0), -h_local, h_local)
+    l_local = normalize(math3d.reflect(-v_local, h_local))
+    l_world = brdf.to_world(t_w, b_w, n_world, l_local)
+    l_view = normalize(transform_dir_transpose(cam.camera_matrix_world, l_world))
+
+    _, nol, noh, loh, voh = brdf.calculate_angles(l_view, v, n)
+
+    if cfg.mode == "ssgi":
+        fresnel = brdf.f_schlick(f0, voh)
+        diff_w = jnp.maximum((1.0 - metalness) * luminance(diffuse), EPS)
+        spec_w = jnp.maximum(luminance(fresnel), EPS)
+        inv_w = 1.0 / (diff_w + spec_w)
+        is_diffuse_sample = r3 < diff_w * inv_w
+    else:
+        is_diffuse_sample = jnp.zeros((h, w), bool)
+
+    # environment importance sampling (`ssgi.frag:191-215`)
+    ems_pdf = jnp.ones((h, w), jnp.float32)
+    is_env_sample = jnp.zeros((h, w), bool)
+    env_mis_dir = jnp.zeros((h, w, 3), jnp.float32)
+    if cfg.importance_sampling and env is not None:
+        env_pdf, env_dir_ws = sample_equirect_probability(
+            env, jnp.stack([r1, r2], axis=-1)
+        )
+        env_mis_dir = normalize(
+            transform_dir_transpose(cam.camera_matrix_world, env_dir_ws)
+        )
+        prob = dot(env_mis_dir, view_normal) * roughness
+        prob = jnp.minimum(1.0 - EPS, prob)
+        is_env_sample = r4 < prob
+        ems_pdf = jnp.where(
+            is_env_sample, env_pdf / jnp.maximum(1.0 - prob, EPS), 1.0 - prob
+        )
+        ems_pdf = jnp.maximum(ems_pdf, EPS)
+
+    cos_hemi = brdf.cosine_sample_hemisphere(
+        view_normal, jnp.stack([r1, r2], axis=-1)
+    )
+    diffuse_ray = jnp.where(is_env_sample[..., None], env_mis_dir, cos_hemi)
+    specular_ray = jnp.where(is_env_sample[..., None], env_mis_dir, l_view)
+
+    def do_sample(l, is_diffuse_mask):
+        """`ssgi.frag:362-439` for one ray direction."""
+        _, s_nol, s_noh, s_loh, s_voh = brdf.calculate_angles(l, v, n)
+        cos_theta = jnp.maximum(0.0, dot(view_normal, l))
+
+        diffuse_brdf = brdf.eval_disney_diffuse(
+            s_nol, nov, s_loh, roughness_sq, metalness
+        )
+        diffuse_pdf = s_nol / jnp.pi
+        spec_brdf = brdf.eval_disney_specular(roughness_sq, s_noh, nov, s_nol)
+        spec_pdf = brdf.ggx_vndf_pdf(s_noh, nov, roughness_sq)
+
+        brdf_val = jnp.where(is_diffuse_mask, diffuse_brdf, spec_brdf)
+        pdf = jnp.maximum(
+            jnp.where(is_diffuse_mask, diffuse_pdf, spec_pdf), EPS
+        )
+        brdf_val = brdf_val * cos_theta
+
+        coords, hit_pos, missed = _view_space_ray_march(
+            view_pos, l, depth, cam, r3, thickness, ray_distance, cfg
+        )
+
+        env_color = _get_env_color(
+            env, l, cam.view_matrix, roughness, is_diffuse_mask,
+            is_env_sample, env_blur, cfg,
+        )
+
+        # reproject hit into last frame's accumulated radiance
+        vel_at_hit = sample_bilinear(velocity.velocity, coords)
+        reproj_uv = coords - vel_at_hit
+        in_bounds = (
+            (reproj_uv[..., 0] >= 0.0) & (reproj_uv[..., 0] <= 1.0)
+            & (reproj_uv[..., 1] >= 0.0) & (reproj_uv[..., 1] <= 1.0)
+        )
+        reproj_gi = sample_bilinear(accumulated[..., :3], reproj_uv)
+        sat = _saturation(diffuse)
+        desat = (1.0 - roughness) * sat * 0.4
+        reproj_gi = mix(
+            reproj_gi, luminance(reproj_gi)[..., None], desat[..., None]
+        )
+
+        border = 0.15
+        bf = (
+            smoothstep(0.0, border, coords[..., 0])
+            * smoothstep(1.0, 1.0 - border, coords[..., 0])
+            * smoothstep(0.0, border, coords[..., 1])
+            * smoothstep(1.0, 1.0 - border, coords[..., 1])
+        )
+        bf = jnp.sqrt(jnp.maximum(bf, 0.0))
+        ssgi_radiance = mix(env_color, reproj_gi, bf[..., None])
+        ssgi_radiance = jnp.where(
+            in_bounds[..., None], ssgi_radiance, env_color
+        )
+
+        if cfg.missed_rays:
+            # keep the brighter of env/ssgi on missed lanes (`:430-436`)
+            take_env = luminance(env_color) > luminance(ssgi_radiance)
+            gi = jnp.where(
+                missed[..., None] & take_env[..., None], env_color, ssgi_radiance
+            )
+        else:
+            gi = jnp.where(missed[..., None], env_color, ssgi_radiance)
+
+        return gi, hit_pos, missed, brdf_val, pdf
+
+    def finalize(gi, brdf_val, pdf):
+        """brdf/pdf/MIS weighting (`ssgi.frag:252-259`)."""
+        gi = gi * brdf_val[..., None]
+        mis = brdf.mis_heuristic(ems_pdf, pdf)
+        weight = jnp.where(is_env_sample, mis, 1.0 / pdf)
+        return gi * (weight / ems_pdf)[..., None]
+
+    # specular ray is traced every frame (`ssgi.frag:245-265`); note the
+    # reference passes the pixel's isDiffuseSample flag into this call too
+    spec_gi_raw, spec_hit_pos, spec_missed, spec_brdf_v, spec_pdf_v = do_sample(
+        specular_ray, is_diffuse_sample
+    )
+    specular_gi = finalize(spec_gi_raw, spec_brdf_v, spec_pdf_v)
+
+    if cfg.mode == "ssgi":
+        diff_gi_raw, _, _, diff_brdf_v, diff_pdf_v = do_sample(
+            diffuse_ray, is_diffuse_sample
+        )
+        diffuse_gi = finalize(diff_gi_raw, diff_brdf_v, diff_pdf_v)
+        # pixels that didn't take a diffuse sample mark -1 (`:277-278`)
+        diffuse_gi = jnp.where(
+            is_diffuse_sample[..., None], diffuse_gi, -1.0
+        )
+    else:
+        diffuse_gi = jnp.full((h, w, 3), -1.0, jnp.float32)
+
+    # world-space ray length for hit-point reprojection (`ssgi.frag:282-296`)
+    is_missed = spec_hit_pos[..., 0] > 1.0e8
+    hit_ws = math3d.transform_point(cam.camera_matrix_world, spec_hit_pos)
+    ray_length = jnp.where(
+        is_missed, 0.0, jnp.linalg.norm(hit_ws - cam.position, axis=-1)
+    )
+
+    g_diffuse = jnp.concatenate(
+        [diffuse_gi, roughness[..., None]], axis=-1
+    )
+    g_specular = jnp.concatenate(
+        [specular_gi, ray_length[..., None]], axis=-1
+    )
+
+    # background shows the direct light (`ssgi.frag:108-113`)
+    bg = jnp.concatenate(
+        [direct_light, jnp.zeros((h, w, 1), jnp.float32)], axis=-1
+    )
+    g_diffuse = jnp.where(is_bg[..., None], bg, g_diffuse)
+    g_specular = jnp.where(is_bg[..., None], bg, g_specular)
+    return g_diffuse, g_specular

@@ -164,6 +164,7 @@ def temporal_reproject(
     neighborhood_clamp_intensity=1.0,
     full_accumulate=False,
     keep_data=1.0,
+    roughness_tex=None,
 ):
     """One temporal-reprojection step over ``texture_count`` MRT slots.
 
@@ -190,12 +191,15 @@ def temporal_reproject(
         ray_length = inputs[1][..., 3]
         roughness = jnp.clip(inputs[0][..., 3], 0.0, 1.0)
     elif cfg.input_type == "specular":
-        # SoA build: alpha of the single specular texture is rayLength and
-        # roughness rides in via the diffuse slot being absent; callers
-        # pass roughness through `inputs[0][..., 3]`-encoded pairs in the
-        # packed build only. Here: alpha = rayLength, roughness unknown -> 1.
+        # SoA build: alpha of the single specular texture is rayLength;
+        # roughness comes from the G-buffer via ``roughness_tex`` (the
+        # packed reference encodes both as half2x16 in alpha,
+        # `temporal_reproject.frag:171-175`)
         ray_length = inputs[0][..., 3]
-        roughness = jnp.ones_like(ray_length)
+        roughness = (
+            jnp.clip(roughness_tex, 0.0, 1.0)
+            if roughness_tex is not None else jnp.ones_like(ray_length)
+        )
     else:
         ray_length = jnp.zeros_like(depth)
         roughness = jnp.ones_like(depth)
