@@ -23,15 +23,15 @@ ITERS = 20
 
 
 def build_composer():
-    from realism_effects_tpu.composer import EffectComposer
-    from realism_effects_tpu.core.camera import PerspectiveCamera
-    from realism_effects_tpu.effects.traa import TRAAEffect
-    from realism_effects_tpu.scene.geometry import (
-        Material, make_box, make_plane, make_sphere, translation,
+    from realism_effects_tpu import (
+        EffectComposer, HBAOEffect, Material, MotionBlurEffect,
+        PerspectiveCamera, Scene, SSGIEffect, TRAAEffect,
+        build_equirect_env, make_box, make_plane, make_sphere,
+        procedural_sky, translation,
     )
-    from realism_effects_tpu.scene.scene import Scene
 
     scene = Scene()
+    scene.environment = build_equirect_env(procedural_sky(64, 128))
     scene.add(make_plane(20, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
     box = scene.add(make_box((1, 1, 1), Material(diffuse=(0.9, 0.3, 0.2, 1.0))))
     box.set_matrix(translation(0, 0.5, 0))
@@ -44,6 +44,10 @@ def build_composer():
     cam.set_position(3, 2.5, 4)
     cam.look_at((0, 0.5, 0))
     composer = EffectComposer(scene, cam, WIDTH, HEIGHT)
+    # the BASELINE.md flagship stack: SSGI + HBAO + TRAA + motion blur
+    composer.add_effect(SSGIEffect())
+    composer.add_effect(HBAOEffect())
+    composer.add_effect(MotionBlurEffect())
     composer.add_effect(TRAAEffect())
     return composer, cam
 
@@ -69,7 +73,7 @@ def main():
 
     ms = float(np.median(times))
     print(json.dumps({
-        "metric": "frame_ms_1080p_raster_direct_traa",
+        "metric": "frame_ms_1080p_full_stack_ssgi_hbao_traa_mb",
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / ms, 3),

@@ -1,13 +1,26 @@
-"""EffectComposer: the jit-compiled frame graph.
+"""EffectComposer: the staged, jit-compiled frame graph.
 
 TPU-native redesign of the reference's pass graph: where three.js'
 ``EffectComposer`` issues one WebGL draw per pass per frame
-(`example/main.js:525-539, 647-649`), this composer traces the whole
-frame — G-buffer raster, velocity raster, direct lighting, every effect —
-into ONE jitted function over HxWxC tensors. History/accumulation
-textures live in an explicit ``state`` pytree that is donated back each
-frame (the functional replacement for render-target ping-pong and
+(`example/main.js:525-539, 647-649`), this composer runs the frame as a
+small sequence of jitted stages — raster+shade, then one stage per
+effect — over HxWxC tensors. History/accumulation textures live in an
+explicit ``state`` pytree that is donated back each frame (the
+functional replacement for render-target ping-pong and
 ``copyFramebufferToTexture``, `TemporalReprojectPass.js:197-200`).
+
+Performance-critical host<->device rules (measured on the axon TPU
+runtime: each fresh host->device transfer costs ~35 ms, the first
+device->host readback ~minutes):
+
+- ALL per-frame host data (camera matrices, model matrices, effect
+  uniforms, frame counters) is packed into ONE flat float32 "uniform
+  buffer" and uploaded with a single transfer per frame — the TPU analog
+  of a GPU uniform buffer object. Stages slice it inside jit.
+- The frame loop never reads device data back to host; camera-move
+  detection runs on the host-side numpy matrices.
+- Scene geometry, env maps and lighting are uploaded once and passed as
+  persistent device arguments (never closed over, never re-created).
 
 Host responsibilities per frame (non-traced): camera jitter bookkeeping
 (`TAAUtils.js:5-11`), previous-matrix snapshots
@@ -18,15 +31,13 @@ Host responsibilities per frame (non-traced): camera jitter bookkeeping
 
 from __future__ import annotations
 
-import functools
-
 import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core.camera import Camera, CameraMatrices, did_camera_move
-from .core.framebuffers import GBuffer, VelocityBuffer
+from .core.camera import Camera, CameraMatrices
+from .core.framebuffers import VelocityBuffer
 from .scene.rasterizer import rasterize_gbuffer, rasterize_velocity
 from .scene.scene import Scene
 from .scene.shading import shade_direct
@@ -34,11 +45,11 @@ from .scene.shading import shade_direct
 
 @chex.dataclass(frozen=True)
 class FrameContext:
-    """Everything an effect stage may read (all traced except env mips)."""
+    """Everything an effect stage may read (traced device values)."""
 
-    gbuffer: GBuffer
-    velocity: VelocityBuffer
-    last_velocity: VelocityBuffer
+    gbuffer: object
+    velocity: object
+    last_velocity: object
     scene_color: jnp.ndarray          # direct-lit input (H, W, 3)
     cam: CameraMatrices               # jittered (matches G-buffer raster)
     unjittered_cam: CameraMatrices
@@ -46,6 +57,73 @@ class FrameContext:
     frame_index: jnp.ndarray          # traced int32 scalar
     params: dict                      # per-effect uniform dicts
     env: object                       # EquirectEnv | None
+
+
+class UniformLayout:
+    """Flat float32 per-frame constant buffer: host packs, device slices."""
+
+    def __init__(self):
+        self.slots: dict[str, tuple[int, tuple]] = {}
+        self.size = 0
+
+    def add(self, name: str, shape: tuple = ()):  # noqa: D401
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        self.slots[name] = (self.size, shape)
+        self.size += n
+        return self
+
+    def pack(self, values: dict) -> np.ndarray:
+        buf = np.zeros(self.size, np.float32)
+        for name, (off, shape) in self.slots.items():
+            v = np.asarray(values[name], np.float32)
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            buf[off: off + n] = v.reshape(-1)
+        return buf
+
+    def get(self, buf: jnp.ndarray, name: str) -> jnp.ndarray:
+        off, shape = self.slots[name]
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        v = jax.lax.dynamic_slice_in_dim(buf, off, n)
+        return v.reshape(shape) if shape else v[0]
+
+
+_CAM_FIELDS = ("projection_matrix", "projection_matrix_inverse",
+               "view_matrix", "camera_matrix_world")
+
+
+def _add_camera_slots(layout: UniformLayout, prefix: str):
+    for f in _CAM_FIELDS:
+        layout.add(f"{prefix}.{f}", (4, 4))
+    layout.add(f"{prefix}.position", (3,))
+    layout.add(f"{prefix}.near")
+    layout.add(f"{prefix}.far")
+
+
+def _pack_camera(values: dict, prefix: str, camera: Camera,
+                 matrix_world: np.ndarray, projection: np.ndarray):
+    proj = np.asarray(projection, np.float64)
+    world = np.asarray(matrix_world, np.float64)
+    values[f"{prefix}.projection_matrix"] = proj
+    values[f"{prefix}.projection_matrix_inverse"] = np.linalg.inv(proj)
+    values[f"{prefix}.view_matrix"] = np.linalg.inv(world)
+    values[f"{prefix}.camera_matrix_world"] = world
+    values[f"{prefix}.position"] = world[:3, 3]
+    values[f"{prefix}.near"] = camera.near
+    values[f"{prefix}.far"] = camera.far
+
+
+def _unpack_camera(layout: UniformLayout, buf: jnp.ndarray, prefix: str
+                   ) -> CameraMatrices:
+    g = lambda f: layout.get(buf, f"{prefix}.{f}")
+    return CameraMatrices(
+        projection_matrix=g("projection_matrix"),
+        projection_matrix_inverse=g("projection_matrix_inverse"),
+        view_matrix=g("view_matrix"),
+        camera_matrix_world=g("camera_matrix_world"),
+        position=g("position"),
+        near=g("near"),
+        far=g("far"),
+    )
 
 
 class EffectComposer:
@@ -60,17 +138,21 @@ class EffectComposer:
         self.frame = 0
         self.camera_not_moved_frames = 0
         self._state = None
-        self._frame_fn = None
+        self._raster_stage = None
+        self._effect_stages = []
+        self._layout = None
         self._static_sig = None
         self._packed = None
-        self._prev_cam: CameraMatrices | None = None
-        self._last_unjittered: CameraMatrices | None = None
+        self._lighting = None           # cached device lighting params
+        self._prev_world = None         # numpy snapshots (host-side)
+        self._prev_proj = None
+        self._last_world = None
         self._reset_pending = True
 
     # ------------------------------------------------------------------
     def add_effect(self, effect) -> "EffectComposer":
         self.effects.append(effect)
-        self._frame_fn = None
+        self._raster_stage = None
         self._state = None
         return self
 
@@ -90,14 +172,52 @@ class EffectComposer:
             state[e.name] = e.init_state(self.height, self.width)
         return state
 
-    def _build_frame_fn(self):
-        effects = tuple(self.effects)
-        env = self.scene.environment
-        lighting = self.scene.lighting_params()
-        h, w = self.height, self.width
+    def _build_layout(self) -> UniformLayout:
+        layout = UniformLayout()
+        for prefix in ("cam", "unjit_cam", "prev_cam"):
+            _add_camera_slots(layout, prefix)
+        n_mesh = max(len(self.scene.meshes), 1)
+        layout.add("model_matrices", (n_mesh, 4, 4))
+        layout.add("prev_model_matrices", (n_mesh, 4, 4))
+        layout.add("keep_data")
+        layout.add("camera_moved")
+        layout.add("camera_not_moved_frames")
+        layout.add("frame_index")
+        for e in self.effects:
+            for key in e.uniforms():
+                layout.add(f"{e.name}.{key}")
+        return layout
 
-        def frame_fn(packed, model_mats, prev_model_mats, cam, unjit_cam,
-                     prev_cam, state, params, frame_index):
+    def _params_from_buf(self, buf: jnp.ndarray) -> dict:
+        layout = self._layout
+        params = {
+            "__global__": {
+                "keep_data": layout.get(buf, "keep_data"),
+                "camera_moved": layout.get(buf, "camera_moved") > 0.5,
+                "camera_not_moved_frames": layout.get(buf, "camera_not_moved_frames"),
+            }
+        }
+        for e in self.effects:
+            params[e.name] = {
+                key: layout.get(buf, f"{e.name}.{key}") for key in e.uniforms()
+            }
+        return params
+
+    def _build_stages(self):
+        """Stage-level jits: one raster+shade stage, one per effect.
+
+        Per-frame host data arrives pre-packed in the uniform buffer; each
+        stage unpacks what it needs on device.
+        """
+        h, w = self.height, self.width
+        layout = self._layout
+
+        def raster_stage(packed, ubuf, env, lighting):
+            cam = _unpack_camera(layout, ubuf, "cam")
+            unjit_cam = _unpack_camera(layout, ubuf, "unjit_cam")
+            prev_cam = _unpack_camera(layout, ubuf, "prev_cam")
+            model_mats = layout.get(ubuf, "model_matrices")
+            prev_model_mats = layout.get(ubuf, "prev_model_matrices")
             gbuffer = rasterize_gbuffer(
                 packed, model_mats, cam.projection_view_matrix, h, w
             )
@@ -107,7 +227,146 @@ class EffectComposer:
                 prev_cam.projection_view_matrix, h, w,
             )
             color = shade_direct(gbuffer, cam, lighting, env)
+            return gbuffer, velocity, color
 
+        self._raster_stage = jax.jit(raster_stage)
+
+        def make_stage(e):
+            def stage(ubuf, gbuffer, velocity, last_velocity, scene_color,
+                      color, state, env):
+                ctx = FrameContext(
+                    gbuffer=gbuffer,
+                    velocity=velocity,
+                    last_velocity=last_velocity,
+                    scene_color=scene_color,
+                    cam=_unpack_camera(layout, ubuf, "cam"),
+                    unjittered_cam=_unpack_camera(layout, ubuf, "unjit_cam"),
+                    prev_cam=_unpack_camera(layout, ubuf, "prev_cam"),
+                    frame_index=layout.get(ubuf, "frame_index").astype(jnp.int32),
+                    params=self._params_from_buf(ubuf),
+                    env=env,
+                )
+                return e.apply(ctx, color, state)
+            return jax.jit(stage, donate_argnums=(6,))
+
+        self._effect_stages = [make_stage(e) for e in self.effects]
+
+    # ------------------------------------------------------------------
+    def render(self):
+        """Render one frame; returns the (H, W, 3) image (device array)."""
+        if self._packed is None:
+            self._packed = self.scene.pack()
+        if self._lighting is None:
+            self._lighting = self.scene.lighting_params()
+
+        static_sig = tuple((e.name, e.static_key()) for e in self.effects)
+        if self._raster_stage is None or static_sig != self._static_sig:
+            self._layout = self._build_layout()
+            self._build_stages()
+            self._static_sig = static_sig
+            if self._state is None:
+                self._state = self._init_state()
+
+        # --- host-side camera bookkeeping (numpy only, no device I/O) ---
+        self.camera.clear_view_offset()
+        unjit_world = np.asarray(self.camera.matrix_world, np.float64).copy()
+        unjit_proj = np.asarray(self.camera.projection_matrix, np.float64).copy()
+        moved = (
+            self._last_world is None
+            or np.abs(self._last_world - unjit_world).max() > 1e-6
+        )
+        self.camera_not_moved_frames = 0 if moved else self.camera_not_moved_frames + 1
+
+        needs_jitter = any(e.needs_jitter for e in self.effects)
+        if needs_jitter:
+            self.camera.jitter(self.width, self.height, self.frame)
+        jit_proj = np.asarray(self.camera.projection_matrix, np.float64).copy()
+
+        prev_world = self._prev_world if self._prev_world is not None else unjit_world
+        prev_proj = self._prev_proj if self._prev_proj is not None else unjit_proj
+
+        for e in self.effects:
+            e.host_update(self)
+
+        # --- pack the per-frame uniform buffer: ONE host->device upload -
+        values = {}
+        _pack_camera(values, "cam", self.camera, unjit_world, jit_proj)
+        _pack_camera(values, "unjit_cam", self.camera, unjit_world, unjit_proj)
+        _pack_camera(values, "prev_cam", self.camera, prev_world, prev_proj)
+        n_mesh = max(len(self.scene.meshes), 1)
+        mm = np.stack([m.matrix_world for m in self.scene.meshes]) \
+            if self.scene.meshes else np.eye(4)[None]
+        pmm = np.stack([
+            m.prev_matrix_world if m.prev_matrix_world is not None else m.matrix_world
+            for m in self.scene.meshes
+        ]) if self.scene.meshes else np.eye(4)[None]
+        values["model_matrices"] = mm
+        values["prev_model_matrices"] = pmm
+        values["keep_data"] = 0.0 if self._reset_pending else 1.0
+        values["camera_moved"] = 1.0 if moved else 0.0
+        values["camera_not_moved_frames"] = float(self.camera_not_moved_frames)
+        values["frame_index"] = float(self.frame % 4096)
+        for e in self.effects:
+            for key, v in e.uniforms().items():
+                values[f"{e.name}.{key}"] = float(v)
+        ubuf = jnp.asarray(self._layout.pack(values))
+
+        # --- device stages ----------------------------------------------
+        env = self.scene.environment
+        gbuffer, velocity, color = self._raster_stage(
+            self._packed, ubuf, env, self._lighting
+        )
+        last_velocity = self._state["__global__"]["last_velocity"]
+        new_state = {"__global__": {"last_velocity": velocity}}
+        image = color
+        for e, stage in zip(self.effects, self._effect_stages):
+            image, new_state[e.name] = stage(
+                ubuf, gbuffer, velocity, last_velocity, color,
+                image, self._state[e.name], env,
+            )
+        self._state = new_state
+
+        # --- end-of-frame snapshots ------------------------------------
+        self._prev_world = unjit_world
+        self._prev_proj = unjit_proj
+        self._last_world = unjit_world
+        self.scene.commit_frame()
+        self.frame += 1
+        self._reset_pending = False
+        return image
+
+    # ------------------------------------------------------------------
+    def build_params(self, moved: bool = False) -> dict:
+        """Assemble a traced uniform pytree (used by the monolithic
+        compile-check path in __graft_entry__)."""
+        params = {
+            "__global__": {
+                "keep_data": jnp.float32(0.0 if self._reset_pending else 1.0),
+                "camera_moved": jnp.asarray(moved),
+                "camera_not_moved_frames": jnp.float32(self.camera_not_moved_frames),
+            }
+        }
+        for e in self.effects:
+            params[e.name] = {k: jnp.asarray(v) for k, v in e.uniforms().items()}
+        return params
+
+    def _build_frame_fn(self):
+        """Monolithic single-jit frame for the driver's compile check and
+        the multi-chip dry run (`render()` uses the staged path)."""
+        effects = tuple(self.effects)
+        h, w = self.height, self.width
+
+        def frame_fn(packed, model_mats, prev_model_mats, cam, unjit_cam,
+                     prev_cam, state, params, frame_index, env, lighting):
+            gbuffer = rasterize_gbuffer(
+                packed, model_mats, cam.projection_view_matrix, h, w
+            )
+            velocity = rasterize_velocity(
+                packed, model_mats, prev_model_mats,
+                unjit_cam.projection_view_matrix,
+                prev_cam.projection_view_matrix, h, w,
+            )
+            color = shade_direct(gbuffer, cam, lighting, env)
             ctx = FrameContext(
                 gbuffer=gbuffer,
                 velocity=velocity,
@@ -127,62 +386,6 @@ class EffectComposer:
             return color, new_state
 
         return jax.jit(frame_fn, donate_argnums=(6,))
-
-    # ------------------------------------------------------------------
-    def render(self):
-        """Render one frame; returns the (H, W, 3) image (device array)."""
-        if self._packed is None:
-            self._packed = self.scene.pack()
-
-        static_sig = tuple((e.name, e.static_key()) for e in self.effects)
-        if self._frame_fn is None or static_sig != self._static_sig:
-            self._frame_fn = self._build_frame_fn()
-            self._static_sig = static_sig
-            if self._state is None:
-                self._state = self._init_state()
-
-        # --- host-side camera bookkeeping ------------------------------
-        self.camera.clear_view_offset()
-        unjit = self.camera.matrices()
-        moved = did_camera_move(self._last_unjittered, unjit)
-        self.camera_not_moved_frames = 0 if moved else self.camera_not_moved_frames + 1
-
-        needs_jitter = any(e.needs_jitter for e in self.effects)
-        if needs_jitter:
-            self.camera.jitter(self.width, self.height, self.frame)
-            cam = self.camera.matrices()
-        else:
-            cam = unjit
-        prev_cam = self._prev_cam if self._prev_cam is not None else unjit
-
-        # --- uniforms ---------------------------------------------------
-        for e in self.effects:
-            e.host_update(self)
-        params = {
-            "__global__": {
-                "keep_data": jnp.float32(0.0 if self._reset_pending else 1.0),
-                "camera_moved": jnp.asarray(moved),
-                "camera_not_moved_frames": jnp.float32(self.camera_not_moved_frames),
-            }
-        }
-        for e in self.effects:
-            params[e.name] = {k: jnp.asarray(v) for k, v in e.uniforms().items()}
-
-        image, self._state = self._frame_fn(
-            self._packed,
-            self.scene.model_matrices(),
-            self.scene.prev_model_matrices(),
-            cam, unjit, prev_cam,
-            self._state, params, jnp.int32(self.frame),
-        )
-
-        # --- end-of-frame snapshots ------------------------------------
-        self._prev_cam = unjit
-        self._last_unjittered = unjit
-        self.scene.commit_frame()
-        self.frame += 1
-        self._reset_pending = False
-        return image
 
     # ------------------------------------------------------------------
     def state(self, effect_name: str):

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .math3d import luminance
-from .sampling import build_mip_chain, sample_bilinear, sample_bilinear_mip
+from .sampling import (
+    MipAtlas, build_mip_atlas, build_mip_chain, sample_bilinear,
+    sample_bilinear_mip, sample_mip_atlas,
+)
 
 
 @chex.dataclass(frozen=True)
@@ -31,6 +34,7 @@ class EquirectEnv:
     """
 
     mips: tuple
+    atlas: MipAtlas          # same pyramid flattened for fast mip fetches
     marginal: jnp.ndarray
     conditional: jnp.ndarray
     total_sum: jnp.ndarray  # scalar luminance sum
@@ -68,9 +72,13 @@ def equirect_uv_to_direction(uv: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_equirect_color(env: EquirectEnv, direction: jnp.ndarray, lod) -> jnp.ndarray:
-    """``sampleEquirectEnvMapColor`` (`ssgi_utils.frag:90-92`) with mips."""
+    """``sampleEquirectEnvMapColor`` (`ssgi_utils.frag:90-92`) with mips.
+
+    Uses the flat mip atlas: per-pixel lod is index arithmetic + gathers
+    from one table (the layout-friendly pattern on TPU).
+    """
     uv = direction_to_equirect_uv(direction)
-    return sample_bilinear_mip(list(env.mips), uv, lod)
+    return sample_mip_atlas(env.atlas, uv, lod)
 
 
 def equirect_direction_pdf(direction: jnp.ndarray) -> jnp.ndarray:
@@ -147,10 +155,77 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
     mips = tuple(build_mip_chain(jnp.asarray(data), max_levels=max_mip_levels))
     return EquirectEnv(
         mips=mips,
+        atlas=build_mip_atlas(jnp.asarray(data)),
         marginal=jnp.asarray(marginal),
         conditional=jnp.asarray(conditional),
         total_sum=jnp.asarray(total, jnp.float32),
     )
+
+
+_CUBE_AXES = (
+    # (major_axis_sign_vector, u_axis, v_axis) per face, GL order
+    ((1, 0, 0), (0, 0, -1), (0, -1, 0)),   # +x
+    ((-1, 0, 0), (0, 0, 1), (0, -1, 0)),   # -x
+    ((0, 1, 0), (1, 0, 0), (0, 0, 1)),     # +y
+    ((0, -1, 0), (1, 0, 0), (0, 0, -1)),   # -y
+    ((0, 0, 1), (1, 0, 0), (0, -1, 0)),    # +z
+    ((0, 0, -1), (-1, 0, 0), (0, -1, 0)),  # -z
+)
+
+
+def equirect_to_cube(equirect: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Render a (6, size, size, 3) cube map from an equirect image."""
+    s = (np.arange(size) + 0.5) / size * 2.0 - 1.0
+    sv, su = np.meshgrid(s, s, indexing="ij")
+    faces = []
+    for fwd, u_ax, v_ax in _CUBE_AXES:
+        d = (
+            np.asarray(fwd, np.float32)[None, None]
+            + su[..., None] * np.asarray(u_ax, np.float32)
+            + sv[..., None] * np.asarray(v_ax, np.float32)
+        )
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        faces.append(sample_bilinear(equirect, direction_to_equirect_uv(d)))
+    return jnp.stack(faces)
+
+
+def cube_to_equirect(faces: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Convert a (6, S, S, 3) cube map to an (height, width, 3) equirect.
+
+    TPU-native version of ``CubeToEquirectEnvPass``
+    (`/root/reference/src/ssgi/pass/CubeToEquirectEnvPass.js:59-99`) —
+    a pure device computation instead of a fullscreen draw + GPU->CPU
+    readback.
+    """
+    v, u = jnp.meshgrid(
+        (jnp.arange(height) + 0.5) / height,
+        (jnp.arange(width) + 0.5) / width,
+        indexing="ij",
+    )
+    d = equirect_uv_to_direction(jnp.stack([u, v], axis=-1))
+    ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
+
+    out = jnp.zeros((height, width, 3), faces.dtype)
+    for idx, (fwd, u_ax, v_ax) in enumerate(_CUBE_AXES):
+        fwd = jnp.asarray(fwd, jnp.float32)
+        ma = math3d_dot_const(d, fwd)
+        if fwd[0] != 0:
+            is_major = (ax >= ay) & (ax >= az) & (ma > 0)
+        elif fwd[1] != 0:
+            is_major = (ay > ax) & (ay >= az) & (ma > 0)
+        else:
+            is_major = (az > ax) & (az > ay) & (ma > 0)
+        safe_ma = jnp.where(jnp.abs(ma) > 1e-8, ma, 1e-8)
+        fu = math3d_dot_const(d, jnp.asarray(u_ax, jnp.float32)) / safe_ma
+        fv = math3d_dot_const(d, jnp.asarray(v_ax, jnp.float32)) / safe_ma
+        face_uv = jnp.stack([fu, fv], axis=-1) * 0.5 + 0.5
+        col = sample_bilinear(faces[idx], face_uv)
+        out = jnp.where(is_major[..., None], col, out)
+    return out
+
+
+def math3d_dot_const(d, c):
+    return d[..., 0] * c[0] + d[..., 1] * c[1] + d[..., 2] * c[2]
 
 
 def procedural_sky(height: int = 64, width: int = 128, sun_dir=(0.5, 0.6, 0.3),

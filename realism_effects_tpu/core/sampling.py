@@ -17,7 +17,37 @@ variants without changing callers.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+# Tables with at most this many texels gather via a one-hot matmul on the
+# MXU instead of a hardware gather: XLA's dynamic-gather lowering costs
+# ~14 ms per megapixel-index op on v5e regardless of table size, while a
+# (P, N) one-hot times (N, C) table runs at MXU speed for small N.
+_ONE_HOT_GATHER_MAX_TEXELS = 2048
+
+
+def _gather_one_hot(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    h, w = tex.shape[0], tex.shape[1]
+    n = h * w
+    flat = tex.reshape(n, -1)                      # (N, C)
+    idx = iy * w + ix                              # (...,)
+    shape = idx.shape
+    one_hot = (
+        idx.reshape(-1)[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
+    ).astype(jnp.bfloat16)
+    out = jnp.dot(one_hot, flat.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    # one-hot rows are exact; re-fetch precision by gathering in f32 via a
+    # second matmul would be redundant — bf16 table rounding is the only
+    # loss, so for small *data* tables redo in f32 when cheap:
+    if n <= 256:
+        out = jnp.dot(one_hot.astype(jnp.float32), flat,
+                      preferred_element_type=jnp.float32)
+    if tex.ndim == 2:
+        return out.reshape(shape)
+    return out.reshape(shape + (tex.shape[2],))
 
 
 def _gather2d(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
@@ -25,6 +55,8 @@ def _gather2d(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray
     h, w = tex.shape[0], tex.shape[1]
     iy = jnp.clip(iy, 0, h - 1)
     ix = jnp.clip(ix, 0, w - 1)
+    if h * w <= _ONE_HOT_GATHER_MAX_TEXELS:
+        return _gather_one_hot(tex, iy, ix)
     return tex[iy, ix]
 
 
@@ -113,6 +145,93 @@ def sample_catmull_rom_5tap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
     total = sw0 + sw1 + sw2 + sw3 + sw4
     return jnp.maximum(acc * expand(1.0 / total), 0.0)
+
+
+class MipAtlas:
+    """All mip levels of a power-of-two image flattened into ONE array.
+
+    TPU-native replacement for per-level texture objects: per-pixel
+    trilinear mip sampling becomes pure index arithmetic + taps into a
+    single flat table (the gather pattern XLA handles at full speed),
+    instead of an unrolled blend over every level.
+
+    Level l has shape (H>>l, W>>l); its flat offset is
+    ``W*H*(1 - 4^-l)*4/3`` (closed form — no offset table lookups).
+    """
+
+    def __init__(self, data: jnp.ndarray, base_h: int, base_w: int, levels: int):
+        self.data = data          # (N, C) flat texels, level-major
+        self.base_h = base_h
+        self.base_w = base_w
+        self.levels = levels
+
+    def tree_flatten(self):
+        return (self.data,), (self.base_h, self.base_w, self.levels)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    MipAtlas, MipAtlas.tree_flatten, MipAtlas.tree_unflatten
+)
+
+
+def build_mip_atlas(tex: jnp.ndarray) -> MipAtlas:
+    """Build the flat atlas from an (H, W, C) base image (H, W pow2-ish)."""
+    mips = build_mip_chain(tex)
+    c = tex.shape[2] if tex.ndim == 3 else 1
+    flat = jnp.concatenate([m.reshape(-1, c) for m in mips], axis=0)
+    return MipAtlas(flat, tex.shape[0], tex.shape[1], len(mips))
+
+
+def _atlas_level_params(atlas: MipAtlas, l: jnp.ndarray):
+    """(offset, h_l, w_l) for per-pixel float level indices ``l``."""
+    n0 = float(atlas.base_h * atlas.base_w)
+    scale = jnp.exp2(-l)
+    h_l = jnp.maximum(jnp.round(atlas.base_h * scale), 1.0)
+    w_l = jnp.maximum(jnp.round(atlas.base_w * scale), 1.0)
+    offset = jnp.round(n0 * (1.0 - scale * scale) * (4.0 / 3.0))
+    return offset, h_l, w_l
+
+
+def _atlas_bilinear(atlas: MipAtlas, uv: jnp.ndarray, l: jnp.ndarray):
+    """Bilinear fetch at integer level ``l`` (float-typed, per pixel)."""
+    offset, h_l, w_l = _atlas_level_params(atlas, l)
+    x = uv[..., 0] * w_l - 0.5
+    y = uv[..., 1] * h_l - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0.0, h_l - 1.0)
+        xx = jnp.clip(xx, 0.0, w_l - 1.0)
+        idx = (offset + yy * w_l + xx).astype(jnp.int32)
+        return atlas.data[idx]
+
+    c00 = tap(y0, x0)
+    c01 = tap(y0, x0 + 1.0)
+    c10 = tap(y0 + 1.0, x0)
+    c11 = tap(y0 + 1.0, x0 + 1.0)
+    top = c00 + (c01 - c00) * fx
+    bot = c10 + (c11 - c10) * fx
+    return top + (bot - top) * fy
+
+
+def sample_mip_atlas(atlas: MipAtlas, uv: jnp.ndarray, lod) -> jnp.ndarray:
+    """Trilinear fetch at per-pixel fractional ``lod`` from the atlas."""
+    lod = jnp.clip(
+        jnp.broadcast_to(jnp.asarray(lod, jnp.float32), uv.shape[:-1]),
+        0.0, atlas.levels - 1,
+    )
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    a = _atlas_bilinear(atlas, uv, l0)
+    b = _atlas_bilinear(atlas, uv, jnp.minimum(l0 + 1.0, atlas.levels - 1.0))
+    return a + (b - a) * frac
 
 
 def build_mip_chain(tex: jnp.ndarray, max_levels: int | None = None) -> list[jnp.ndarray]:

@@ -48,7 +48,7 @@ class AOEffect(Effect):
         return (self.kind, self.cfg, self.denoise_cfg, self.color)
 
     def uniforms(self):
-        return {"power": jnp.float32(self.power)}
+        return {"power": float(self.power)}
 
     def _ao(self, ctx):
         raise NotImplementedError

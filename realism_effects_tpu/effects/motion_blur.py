@@ -31,9 +31,9 @@ class MotionBlurEffect(Effect):
 
     def uniforms(self):
         return {
-            "intensity": jnp.float32(self.intensity),
-            "jitter": jnp.float32(self.jitter),
-            "delta_time": jnp.float32(1.0 / 60.0),
+            "intensity": float(self.intensity),
+            "jitter": float(self.jitter),
+            "delta_time": 1.0 / 60.0,
         }
 
     def apply(self, ctx, color, state):

@@ -100,9 +100,9 @@ class SSGIEffect(Effect):
 
     def uniforms(self):
         return {
-            "ray_distance": jnp.float32(self.distance),
-            "thickness": jnp.float32(self.thickness),
-            "env_blur": jnp.float32(self.env_blur),
+            "ray_distance": float(self.distance),
+            "thickness": float(self.thickness),
+            "env_blur": float(self.env_blur),
         }
 
     def init_state(self, height, width):

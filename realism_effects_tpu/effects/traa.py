@@ -42,10 +42,8 @@ class TRAAEffect(Effect):
 
     def uniforms(self):
         return {
-            "max_blend": jnp.float32(self.max_blend),
-            "neighborhood_clamp_intensity": jnp.float32(
-                self.neighborhood_clamp_intensity
-            ),
+            "max_blend": float(self.max_blend),
+            "neighborhood_clamp_intensity": float(self.neighborhood_clamp_intensity),
         }
 
     def init_state(self, height, width):

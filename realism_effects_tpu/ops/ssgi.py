@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..core import brdf, math3d
@@ -62,12 +63,14 @@ def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,
     """
     step_dir = l * (ray_distance / float(cfg.steps))
 
-    hit = jnp.zeros(view_pos.shape[:-1], bool)
-    hit_pos = view_pos
-    uv = math3d.view_to_screen(view_pos, cam.projection_matrix)
+    hit0 = jnp.zeros(view_pos.shape[:-1], bool)
+    uv0 = math3d.view_to_screen(view_pos, cam.projection_matrix)
 
-    for i in range(1, cfg.steps):
-        cs = 1.0 - jnp.exp(-0.25 * (float(i) + random_b - 0.5) ** 2)
+    def march_body(i, carry):
+        hit, hit_pos, uv = carry
+        cs = 1.0 - jnp.exp(
+            -0.25 * (i.astype(jnp.float32) + random_b - 0.5) ** 2
+        )
         advanced = hit_pos + step_dir * cs[..., None]
         cur_pos = jnp.where(hit[..., None], hit_pos, advanced)
 
@@ -78,20 +81,28 @@ def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,
         newly_hit = (~hit) & (diff >= 0.0) & (diff < thickness)
 
         uv = jnp.where(hit[..., None], uv, cur_uv)
-        hit_pos = cur_pos
-        hit = hit | newly_hit
+        return hit | newly_hit, cur_pos, uv
+
+    hit, hit_pos, uv = jax.lax.fori_loop(
+        1, cfg.steps, march_body, (hit0, view_pos, uv0)
+    )
 
     # binary refinement on hit lanes (`ssgi.frag:477-503`)
     if cfg.refine_steps > 0:
-        bdir = step_dir * 0.5
-        bpos = hit_pos - bdir
-        for _ in range(cfg.refine_steps):
+        def refine_body(_, carry):
+            bdir, bpos = carry
             b_uv = math3d.view_to_screen(bpos, cam.projection_matrix)
             d = sample_bilinear(depth_tex, b_uv)
             z = _get_view_z(d, cam)
             diff = z - bpos[..., 2]
             bdir = bdir * 0.5
             bpos = bpos + jnp.where((diff >= 0.0)[..., None], -bdir, bdir)
+            return bdir, bpos
+
+        bdir0 = jnp.broadcast_to(step_dir * 0.5, hit_pos.shape)
+        _, bpos = jax.lax.fori_loop(
+            0, cfg.refine_steps, refine_body, (bdir0, hit_pos - bdir0)
+        )
         refined_uv = math3d.view_to_screen(bpos, cam.projection_matrix)
         uv = jnp.where(hit[..., None], refined_uv, uv)
         hit_pos = jnp.where(hit[..., None], bpos, hit_pos)

@@ -43,6 +43,9 @@ class Mesh:
     material: Material = dataclasses.field(default_factory=Material)
     matrix_world: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
     prev_matrix_world: np.ndarray | None = None
+    #: analog of three.js visibility honored by ``getVisibleChildren``
+    #: (`/root/reference/src/utils/SceneUtils.js:17-30`)
+    visible: bool = True
 
     def set_matrix(self, m: np.ndarray):
         if self.prev_matrix_world is None:

@@ -47,10 +47,19 @@ class Scene:
         self.meshes.append(mesh)
         return mesh
 
+    def visible_meshes(self) -> list:
+        """``getVisibleChildren`` analog (`SceneUtils.js:17-30`)."""
+        return [m for m in self.meshes if m.visible]
+
     def pack(self) -> PackedScene:
         positions, normals, faces, vert_ids, mats = [], [], [], [], []
         offset = 0
         for i, mesh in enumerate(self.meshes):
+            if not mesh.visible:
+                # keep the mesh slot (matrices stay index-aligned) but
+                # contribute no geometry
+                mats.append(mesh.material.as_row())
+                continue
             positions.append(mesh.positions)
             normals.append(mesh.normals)
             faces.append(mesh.faces + offset)
