@@ -36,7 +36,15 @@ class SharpnessEffect(Effect):
     def uniforms(self):
         return {"sharpness": float(self.sharpness)}
 
+    #: Pallas row-block kernel on TPU; jnp shifted-slice fallback
+    use_pallas = True
+
     def apply(self, ctx, color, state):
+        s = ctx.params[self.name]["sharpness"]
+        if self.use_pallas:
+            from ..ops.pallas.stencil import sharpness_3x3
+
+            return sharpness_3x3(color, s), state
         h, w = color.shape[:2]
         pad = jnp.pad(color, ((1, 1), (1, 1), (0, 0)), mode="edge")
         blurred = jnp.zeros_like(color)
@@ -44,7 +52,7 @@ class SharpnessEffect(Effect):
             for dx in (-1, 0, 1):
                 blurred = blurred + pad[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
         blurred = blurred / 9.0
-        sharp = color + (color - blurred) * ctx.params[self.name]["sharpness"]
+        sharp = color + (color - blurred) * s
         return jnp.maximum(sharp, 0.0), state
 
 

@@ -124,13 +124,26 @@ def _reproject_hit_point(world_pos, ray_length, curvature, cam, prev_cam):
     return uv, valid
 
 
+#: route the neighborhood stencil through the Pallas TPU kernel
+#: (ops/pallas/stencil.py); the jnp shifted-slice path remains as the
+#: reference implementation and interpret-mode fallback.
+USE_PALLAS_STENCILS = True
+
+
 def _neighborhood_minmax(tex, center_raw, radius: int):
     """AABB of the neighborhood (`reproject.frag:53-81`), seeded with the
     center input color; texels with r < 0 are skipped.
 
-    Static-offset stencil: expressed as shifted whole-image reads (jnp.roll
-    with edge handling via clamp-pad), no gather.
+    Static-offset stencil: Pallas row-block kernel on TPU, or shifted
+    whole-image reads (edge clamp-pad) in jnp.
     """
+    if USE_PALLAS_STENCILS:
+        from .pallas.stencil import neighborhood_minmax as pallas_minmax
+
+        mn4, mx4 = pallas_minmax(tex, radius)
+        mn = jnp.minimum(mn4[..., :3], center_raw)
+        mx = jnp.maximum(mx4[..., :3], center_raw)
+        return mn, mx
     h, w = tex.shape[:2]
     mn = center_raw
     mx = center_raw
