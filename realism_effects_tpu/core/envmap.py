@@ -127,6 +127,21 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
     """
     data = np.asarray(data, np.float32)
     h, w = data.shape[:2]
+
+    # native threaded CDF builder (the Web Worker's C++ replacement)
+    from .. import native
+    native_result = native.build_equirect_cdf(data)
+    if native_result is not None:
+        marginal, conditional, total = native_result
+        mips = tuple(build_mip_chain(jnp.asarray(data), max_levels=max_mip_levels))
+        return EquirectEnv(
+            mips=mips,
+            atlas=build_mip_atlas(jnp.asarray(data)),
+            marginal=jnp.asarray(marginal),
+            conditional=jnp.asarray(conditional),
+            total_sum=jnp.asarray(total, jnp.float32),
+        )
+
     lum = (
         0.2125 * data[..., 0] + 0.7154 * data[..., 1] + 0.0721 * data[..., 2]
     ).astype(np.float64)
