@@ -179,6 +179,10 @@ class EffectComposer:
         n_mesh = max(len(self.scene.meshes), 1)
         layout.add("model_matrices", (n_mesh, 4, 4))
         layout.add("prev_model_matrices", (n_mesh, 4, 4))
+        if self.scene.num_bones() > 1:
+            nb = self.scene.num_bones()
+            layout.add("bone_matrices", (nb, 4, 4))
+            layout.add("prev_bone_matrices", (nb, 4, 4))
         layout.add("keep_data")
         layout.add("camera_moved")
         layout.add("camera_not_moved_frames")
@@ -212,19 +216,41 @@ class EffectComposer:
         h, w = self.height, self.width
         layout = self._layout
 
+        has_bones = self.scene.num_bones() > 1
+        has_alpha = any(
+            m.material.diffuse[3] < 1.0 for m in self.scene.meshes
+        )
+
         def raster_stage(packed, ubuf, env, lighting):
             cam = _unpack_camera(layout, ubuf, "cam")
             unjit_cam = _unpack_camera(layout, ubuf, "unjit_cam")
             prev_cam = _unpack_camera(layout, ubuf, "prev_cam")
             model_mats = layout.get(ubuf, "model_matrices")
             prev_model_mats = layout.get(ubuf, "prev_model_matrices")
+            bones = layout.get(ubuf, "bone_matrices") if has_bones else None
+            prev_bones = (
+                layout.get(ubuf, "prev_bone_matrices") if has_bones else None
+            )
+            if has_alpha:
+                # dither animated by the still-frame counter so TRAA/TAA
+                # converge transparency (`GBufferPass.js:59,78-82`)
+                from .core.rng import blue_noise_image
+                seed = (
+                    layout.get(ubuf, "camera_not_moved_frames")
+                    + layout.get(ubuf, "frame_index")
+                ).astype(jnp.int32)
+                dither = blue_noise_image(h, w, seed)[..., 0]
+            else:
+                dither = None
             gbuffer = rasterize_gbuffer(
-                packed, model_mats, cam.projection_view_matrix, h, w
+                packed, model_mats, cam.projection_view_matrix, h, w,
+                bones=bones, dither=dither,
             )
             velocity = rasterize_velocity(
                 packed, model_mats, prev_model_mats,
                 unjit_cam.projection_view_matrix,
                 prev_cam.projection_view_matrix, h, w,
+                bones=bones, prev_bones=prev_bones, dither=dither,
             )
             color = shade_direct(gbuffer, cam, lighting, env)
             return gbuffer, velocity, color
@@ -302,6 +328,9 @@ class EffectComposer:
         ]) if self.scene.meshes else np.eye(4)[None]
         values["model_matrices"] = mm
         values["prev_model_matrices"] = pmm
+        if self.scene.num_bones() > 1:
+            values["bone_matrices"] = self.scene.bone_matrices()
+            values["prev_bone_matrices"] = self.scene.bone_matrices(prev=True)
         values["keep_data"] = 0.0 if self._reset_pending else 1.0
         values["camera_moved"] = 1.0 if moved else 0.0
         values["camera_not_moved_frames"] = float(self.camera_not_moved_frames)

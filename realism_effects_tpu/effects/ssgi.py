@@ -28,6 +28,36 @@ from ..ops.temporal_reproject import (
     TemporalReprojectConfig, temporal_reproject,
 )
 from .base import Effect
+from ..core.framebuffers import GBuffer, VelocityBuffer
+from ..core.math3d import uv_grid
+from ..core.sampling import sample_bilinear, sample_nearest
+
+
+def _resize_bilinear(tex, h, w):
+    return sample_bilinear(tex, uv_grid(h, w))
+
+
+def _resize_nearest(tex, h, w):
+    return sample_nearest(tex, uv_grid(h, w))
+
+
+def _resize_gbuffer(gb: GBuffer, h, w) -> GBuffer:
+    return GBuffer(
+        diffuse=_resize_nearest(gb.diffuse, h, w),
+        normal=_resize_nearest(gb.normal, h, w),
+        roughness=_resize_nearest(gb.roughness, h, w),
+        metalness=_resize_nearest(gb.metalness, h, w),
+        emissive=_resize_nearest(gb.emissive, h, w),
+        depth=_resize_nearest(gb.depth, h, w),
+    )
+
+
+def _resize_velocity(vel: VelocityBuffer, h, w) -> VelocityBuffer:
+    return VelocityBuffer(
+        velocity=_resize_nearest(vel.velocity, h, w),
+        normal=_resize_nearest(vel.normal, h, w),
+        depth=_resize_nearest(vel.depth, h, w),
+    )
 
 #: quality presets (`SSGIEffect.js:79-99`; the reference's duplicated
 #: "medium" case is collapsed, SURVEY.md quirks list)
@@ -54,6 +84,9 @@ class SSGIEffect(Effect):
                  roughness_phi: float = 50.0, specular_phi: float = 50.0,
                  denoise_mode: str = "full",
                  fog_color=None, fog_density: float = 0.0,
+                 resolution_scale: float = 1.0,
+                 use_direct_light: bool = False,
+                 env_box: tuple | None = None,
                  preset: str | None = None,
                  output_texture: str | None = None):
         if preset is not None:
@@ -61,6 +94,7 @@ class SSGIEffect(Effect):
             steps = p.get("steps", steps)
             refine_steps = p.get("refine_steps", refine_steps)
             denoise_mode = p.get("denoise_mode", denoise_mode)
+            resolution_scale = p.get("resolution_scale", resolution_scale)
         self.distance = distance
         self.thickness = thickness
         self.env_blur = env_blur
@@ -72,9 +106,11 @@ class SSGIEffect(Effect):
         #: "denoised_diffuse" | "denoised_specular" | "composed"
         self.output_texture = output_texture
 
+        self.resolution_scale = float(resolution_scale)
         self.cfg = SSGIConfig(
             mode=self.mode, steps=steps, refine_steps=refine_steps,
             missed_rays=missed_rays, importance_sampling=importance_sampling,
+            use_direct_light=use_direct_light, env_box=env_box,
         )
         n_tex = 2 if self.mode == "ssgi" else 1
         self.temporal_cfg = TemporalReprojectConfig(
@@ -96,7 +132,7 @@ class SSGIEffect(Effect):
     def static_key(self):
         return (self.cfg, self.temporal_cfg, self.denoise_cfg,
                 self.denoise_mode, self.output_texture,
-                self.fog_color, self.fog_density)
+                self.fog_color, self.fog_density, self.resolution_scale)
 
     def uniforms(self):
         return {
@@ -120,13 +156,33 @@ class SSGIEffect(Effect):
         g = ctx.params["__global__"]
 
         # 1. stochastic trace; radiance feedback = last frame's composed
-        #    output (`SSGIPass.js:88`)
-        g_diffuse, g_specular = ssgi(
-            ctx.gbuffer, ctx.velocity, state["composed"], color,
-            ctx.env, ctx.cam, ctx.frame_index, self.cfg,
-            ray_distance=u["ray_distance"], thickness=u["thickness"],
-            env_blur=u["env_blur"],
-        )
+        #    output (`SSGIPass.js:88`). With resolution_scale < 1 the trace
+        #    runs on a downsampled G-buffer and the result is upsampled
+        #    (the reference's SSGIPass renderTarget scaling,
+        #    `SSGIPass.js:52-57`).
+        if self.resolution_scale < 1.0:
+            h, w = ctx.gbuffer.depth.shape
+            h2 = max(int(h * self.resolution_scale), 8)
+            w2 = max(int(w * self.resolution_scale), 8)
+            gb_lo = _resize_gbuffer(ctx.gbuffer, h2, w2)
+            vel_lo = _resize_velocity(ctx.velocity, h2, w2)
+            acc_lo = _resize_bilinear(state["composed"], h2, w2)
+            color_lo = _resize_bilinear(color, h2, w2)
+            g_diffuse, g_specular = ssgi(
+                gb_lo, vel_lo, acc_lo, color_lo,
+                ctx.env, ctx.cam, ctx.frame_index, self.cfg,
+                ray_distance=u["ray_distance"], thickness=u["thickness"],
+                env_blur=u["env_blur"],
+            )
+            g_diffuse = _resize_bilinear(g_diffuse, h, w)
+            g_specular = _resize_bilinear(g_specular, h, w)
+        else:
+            g_diffuse, g_specular = ssgi(
+                ctx.gbuffer, ctx.velocity, state["composed"], color,
+                ctx.env, ctx.cam, ctx.frame_index, self.cfg,
+                ray_distance=u["ray_distance"], thickness=u["thickness"],
+                env_blur=u["env_blur"],
+            )
         inputs = [g_diffuse, g_specular] if self.mode == "ssgi" else [g_specular]
 
         # 2. temporal reprojection; history = last frame's denoised B

@@ -46,6 +46,11 @@ class SSGIConfig:
     missed_rays: bool = False
     importance_sampling: bool = True
     env_lum_clamp: bool = True
+    #: add the direct-light texture to both GI outputs (`ssgi.frag:267-272`)
+    use_direct_light: bool = False
+    #: box-projected env parallax correction (`ssgi_utils.frag:40-57`):
+    #: ((sx, sy, sz), (px, py, pz)) or None
+    env_box: tuple | None = None
 
 
 def _get_view_z(depth, cam):
@@ -112,13 +117,30 @@ def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,
     return uv, hit_pos, missed
 
 
+def _parallax_correct(reflected_ws, world_pos, cfg: SSGIConfig):
+    """Box-projected env correction (`ssgi_utils.frag:44-56`)."""
+    size = jnp.asarray(cfg.env_box[0], jnp.float32)
+    pos = jnp.asarray(cfg.env_box[1], jnp.float32)
+    n_dir = reflected_ws
+    safe = jnp.where(jnp.abs(n_dir) > 1e-8, n_dir, 1e-8)
+    rbmax = (0.5 * size + pos - world_pos) / safe
+    rbmin = (-0.5 * size + pos - world_pos) / safe
+    rbminmax = jnp.where(n_dir > 0.0, rbmax, rbmin)
+    correction = jnp.min(rbminmax, axis=-1, keepdims=True)
+    box_hit = world_pos + n_dir * correction
+    return normalize(box_hit - pos)
+
+
 def _get_env_color(env: EquirectEnv | None, l_view, view_matrix, roughness,
-                   is_diffuse, is_env_sample, env_blur, cfg: SSGIConfig):
+                   is_diffuse, is_env_sample, env_blur, cfg: SSGIConfig,
+                   world_pos=None):
     """`ssgi.frag:311-346`: equirect fetch with roughness-scaled mip and
-    luminance clamping."""
+    luminance clamping; optional box-projected parallax correction."""
     if env is None:
         return jnp.zeros(l_view.shape[:-1] + (3,), jnp.float32)
     reflected_ws = normalize(transform_dir_transpose(view_matrix, l_view))
+    if cfg.env_box is not None and world_pos is not None:
+        reflected_ws = _parallax_correct(reflected_ws, world_pos, cfg)
     max_mip = float(env.max_mip_level)
     mip = env_blur * max_mip
     mip_scale = jnp.where(
@@ -266,7 +288,7 @@ def ssgi(
 
         env_color = _get_env_color(
             env, l, cam.view_matrix, roughness, is_diffuse_mask,
-            is_env_sample, env_blur, cfg,
+            is_env_sample, env_blur, cfg, world_pos=world_pos,
         )
 
         # reproject hit into last frame's accumulated radiance
@@ -332,6 +354,15 @@ def ssgi(
         )
     else:
         diffuse_gi = jnp.full((h, w, 3), -1.0, jnp.float32)
+
+    if cfg.use_direct_light:
+        # `ssgi.frag:267-272`
+        specular_gi = specular_gi + direct_light
+        if cfg.mode == "ssgi":
+            diffuse_gi = jnp.where(
+                is_diffuse_sample[..., None], diffuse_gi + direct_light,
+                diffuse_gi,
+            )
 
     # world-space ray length for hit-point reprojection (`ssgi.frag:282-296`)
     is_missed = spec_hit_pos[..., 0] > 1.0e8

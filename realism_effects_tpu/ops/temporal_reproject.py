@@ -52,6 +52,9 @@ class TemporalReprojectConfig:
     # 'diffuse' | 'specular' | 'diffuse_specular' — selects how roughness
     # and rayLength are read from input alpha channels
     input_type: str = "diffuse"
+    #: 3x3 closest-depth velocity dilation (the reference's ``dilation``
+    #: option, `TemporalReprojectPass.js:17-19`)
+    dilation: bool = False
 
 
 def _transform_color(c, cfg):
@@ -165,6 +168,33 @@ def _neighborhood_minmax(tex, center_raw, radius: int):
     return mn, mx
 
 
+def _dilate_closest(buf: VelocityBuffer):
+    """3x3 closest-depth dilation: each pixel takes the velocity/normal/
+    depth of its nearest (minimum-depth) neighbor — stabilizes edges of
+    moving objects under TAA."""
+    h, w = buf.depth.shape
+    best_d = buf.depth
+    best_v = buf.velocity
+    best_n = buf.normal
+    dp = jnp.pad(buf.depth, 1, mode="edge")
+    vp = jnp.pad(buf.velocity, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    np_ = jnp.pad(buf.normal, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            d = dp[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+            closer = d < best_d
+            best_v = jnp.where(
+                closer[..., None], vp[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w], best_v
+            )
+            best_n = jnp.where(
+                closer[..., None], np_[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w], best_n
+            )
+            best_d = jnp.where(closer, d, best_d)
+    return best_v, best_n, best_d
+
+
 def temporal_reproject(
     inputs: Sequence[jnp.ndarray],
     history: Sequence[jnp.ndarray],
@@ -190,9 +220,12 @@ def temporal_reproject(
     h, w = velocity.depth.shape
     uv = uv_grid(h, w)
 
-    vel = velocity.velocity
-    world_normal = velocity.normal
-    depth = velocity.depth
+    if cfg.dilation:
+        vel, world_normal, depth = _dilate_closest(velocity)
+    else:
+        vel = velocity.velocity
+        world_normal = velocity.normal
+        depth = velocity.depth
 
     curvature = jnp.linalg.norm(fwidth(world_normal), axis=-1)
     world_pos = screen_to_world(

@@ -46,6 +46,23 @@ class Mesh:
     #: analog of three.js visibility honored by ``getVisibleChildren``
     #: (`/root/reference/src/utils/SceneUtils.js:17-30`)
     visible: bool = True
+    #: optional linear-blend skinning (K17 carries previous-frame bone
+    #: matrices for skinned velocity, `VelocityDepthNormalMaterial.js:8-66`)
+    skin_indices: np.ndarray | None = None   # (V, 4) int32 into bone list
+    skin_weights: np.ndarray | None = None   # (V, 4) float32, rows sum to 1
+    bone_matrices: np.ndarray | None = None  # (B, 4, 4)
+    prev_bone_matrices: np.ndarray | None = None
+
+    def set_bones(self, bones: np.ndarray):
+        """Update the bone palette; snapshots the previous palette for
+        velocity (like the per-mesh ``prevBoneTexture`` bookkeeping in
+        `VelocityDepthNormalPass.js:24-64`)."""
+        bones = np.asarray(bones, np.float64)
+        if self.bone_matrices is None:
+            self.prev_bone_matrices = bones.copy()
+        else:
+            self.prev_bone_matrices = np.asarray(self.bone_matrices).copy()
+        self.bone_matrices = bones
 
     def set_matrix(self, m: np.ndarray):
         if self.prev_matrix_world is None:
@@ -59,6 +76,8 @@ class Mesh:
         like the per-mesh ``prevVelocityMatrix`` save in
         `VelocityDepthNormalPass.js:138-146`)."""
         self.prev_matrix_world = np.asarray(self.matrix_world, np.float64).copy()
+        if self.bone_matrices is not None:
+            self.prev_bone_matrices = np.asarray(self.bone_matrices).copy()
 
 
 def translation(x, y, z) -> np.ndarray:

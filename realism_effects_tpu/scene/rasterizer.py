@@ -29,15 +29,26 @@ from .scene import PackedScene
 _CHUNK = 16  # triangles per scan step; (H, W, CHUNK) temps must fit HBM
 
 
-def _world_transform(packed: PackedScene, model_mats: jnp.ndarray):
-    """Apply per-mesh model matrices: object -> world positions/normals."""
+def _world_transform(packed: PackedScene, model_mats: jnp.ndarray,
+                     bones: jnp.ndarray | None = None):
+    """Object -> world positions/normals: optional linear-blend skinning
+    (K17 semantics incl. bones, `VelocityDepthNormalMaterial.js:8-66`)
+    followed by the per-mesh model matrix."""
+    positions, normals = packed.positions, packed.normals
+    if bones is not None:
+        bm = bones[packed.skin_indices]               # (V, 4, 4, 4)
+        w = packed.skin_weights[:, :, None, None]
+        skin = jnp.sum(bm * w, axis=1)                # (V, 4, 4)
+        srot = skin[:, :3, :3]
+        positions = jnp.sum(srot * positions[:, None, :], axis=-1) + skin[:, :3, 3]
+        normals = jnp.sum(srot * normals[:, None, :], axis=-1)
     mats = model_mats[packed.vert_mesh_id]            # (V, 4, 4)
     # explicit broadcast arithmetic: exact f32 on the VPU (a dot_general
     # here would take the bf16 MXU path and corrupt vertex positions)
     rot = mats[:, :3, :3]
-    pos = jnp.sum(rot * packed.positions[:, None, :], axis=-1) + mats[:, :3, 3]
+    pos = jnp.sum(rot * positions[:, None, :], axis=-1) + mats[:, :3, 3]
     # normal matrix ~ rotation part (assumes rigid/uniform-scale transforms)
-    nrm = jnp.sum(rot * packed.normals[:, None, :], axis=-1)
+    nrm = jnp.sum(rot * normals[:, None, :], axis=-1)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
     return pos, nrm
 
@@ -78,8 +89,15 @@ def _edge_coeffs(h0, h1, h2):
     return (c0, c1, c2), det
 
 
-def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int):
+def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
+                tri_alpha: jnp.ndarray | None = None,
+                dither: jnp.ndarray | None = None):
     """Z-buffer visibility: winning triangle id per pixel (-1 = none).
+
+    ``tri_alpha``/``dither`` implement stochastic-alpha transparency: a
+    triangle with alpha < 1 covers a pixel only where the per-pixel
+    dither value is below alpha (the reference's dithered alpha discard,
+    `GBufferMaterial.js:57-79`; TRAA/TAA accumulation converges it).
 
     Returns (tri_id (H, W) int32, depth01 (H, W) in [0, 1], 1 = background).
     """
@@ -105,18 +123,28 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int):
 
     valid_tri = (jnp.abs(det) > 1e-14) & (tri_ids >= 0)
     sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+    if tri_alpha is not None:
+        alpha_p = jnp.concatenate(
+            [tri_alpha, jnp.ones((pad,), tri_alpha.dtype)]
+        )
 
     n_chunks = faces_p.shape[0] // _CHUNK
     chunk = lambda a: a.reshape((n_chunks, _CHUNK) + a.shape[1:])
-    scan_in = (chunk(coeffs), chunk(tri_z), chunk(tri_w), chunk(sgn),
-               chunk(valid_tri), chunk(tri_ids))
+    scan_in = [chunk(coeffs), chunk(tri_z), chunk(tri_w), chunk(sgn),
+               chunk(valid_tri), chunk(tri_ids)]
+    if tri_alpha is not None:
+        scan_in.append(chunk(alpha_p))
+    scan_in = tuple(scan_in)
 
     pxg = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :, None]   # (1, W, 1)
     pyg = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None, None]  # (H, 1, 1)
 
     def step(carry, inp):
         zbuf, ids = carry
-        ccoef, cz, cw, csgn, cvalid, cids = inp
+        if tri_alpha is not None:
+            ccoef, cz, cw, csgn, cvalid, cids, calpha = inp
+        else:
+            ccoef, cz, cw, csgn, cvalid, cids = inp
         # e: (H, W, K) per edge
         e0 = ccoef[:, 0, 0] * pxg + ccoef[:, 0, 1] * pyg + ccoef[:, 0, 2]
         e1 = ccoef[:, 1, 0] * pxg + ccoef[:, 1, 1] * pyg + ccoef[:, 1, 2]
@@ -132,6 +160,11 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int):
         covered &= w_pix > 1e-6                             # in front of eye
         z_ndc = zc / jnp.where(jnp.abs(zw) > 1e-20, zw, 1e-20)
         covered &= (z_ndc >= -1.0) & (z_ndc <= 1.0)
+        if tri_alpha is not None:
+            passes = (calpha >= 0.9999)[None, None, :] | (
+                dither[..., None] < calpha[None, None, :]
+            )
+            covered &= passes
 
         z = jnp.where(covered, z_ndc, jnp.inf)
         k_best = jnp.argmin(z, axis=-1)                     # (H, W)
@@ -183,11 +216,19 @@ def _interp(attr: jnp.ndarray, vidx: jnp.ndarray, weights: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
-                      view_proj: jnp.ndarray, height: int, width: int) -> GBuffer:
-    """Render the SoA G-buffer (K16 semantics, minus maps/alpha-dither)."""
-    world_pos, world_nrm = _world_transform(packed, model_mats)
+                      view_proj: jnp.ndarray, height: int, width: int,
+                      bones: jnp.ndarray | None = None,
+                      dither: jnp.ndarray | None = None) -> GBuffer:
+    """Render the SoA G-buffer (K16 semantics: optional skinning and
+    stochastic-alpha dither via ``dither`` (H, W) noise)."""
+    world_pos, world_nrm = _world_transform(packed, model_mats, bones)
     clip = _clip_positions(world_pos, view_proj)
-    ids, depth01 = _visibility(clip, packed.faces, height, width)
+    tri_alpha = None
+    if dither is not None:
+        face_mesh = packed.vert_mesh_id[packed.faces[:, 0]]
+        tri_alpha = packed.materials[face_mesh, 3]
+    ids, depth01 = _visibility(clip, packed.faces, height, width,
+                               tri_alpha, dither)
     vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
 
     nrm = _interp(world_nrm, vidx, wts)
@@ -210,20 +251,31 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
                        prev_model_mats: jnp.ndarray, view_proj: jnp.ndarray,
-                       prev_view_proj: jnp.ndarray, height: int, width: int
-                       ) -> VelocityBuffer:
+                       prev_view_proj: jnp.ndarray, height: int, width: int,
+                       bones: jnp.ndarray | None = None,
+                       prev_bones: jnp.ndarray | None = None,
+                       dither: jnp.ndarray | None = None) -> VelocityBuffer:
     """Render velocity/depth/normal (K17 semantics).
 
     Both view-proj matrices must be UNJITTERED, mirroring
     `VelocityDepthNormalPass.js:166-171`. Velocity is uv displacement
-    ``current - previous`` like `VelocityDepthNormalMaterial.js:75-84`.
+    ``current - previous`` like `VelocityDepthNormalMaterial.js:75-84`;
+    skinned meshes use the previous frame's bone palette for the previous
+    position (the ``prevBoneTexture`` path).
     """
-    world_pos, world_nrm = _world_transform(packed, model_mats)
-    prev_world_pos, _ = _world_transform(packed, prev_model_mats)
+    world_pos, world_nrm = _world_transform(packed, model_mats, bones)
+    prev_world_pos, _ = _world_transform(
+        packed, prev_model_mats, prev_bones if bones is not None else None
+    )
     clip = _clip_positions(world_pos, view_proj)
     prev_clip = _clip_positions(prev_world_pos, prev_view_proj)
 
-    ids, depth01 = _visibility(clip, packed.faces, height, width)
+    tri_alpha = None
+    if dither is not None:
+        face_mesh = packed.vert_mesh_id[packed.faces[:, 0]]
+        tri_alpha = packed.materials[face_mesh, 3]
+    ids, depth01 = _visibility(clip, packed.faces, height, width,
+                               tri_alpha, dither)
     vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
 
     cur = _interp(clip, vidx, wts)         # (H, W, 4)

@@ -26,6 +26,13 @@ class PackedScene:
     faces: jnp.ndarray       # (F, 3) int32
     vert_mesh_id: jnp.ndarray  # (V,) int32
     materials: jnp.ndarray   # (M, MATERIAL_ROW_SIZE)
+    skin_indices: jnp.ndarray  # (V, 4) int32 into the global bone table
+    skin_weights: jnp.ndarray  # (V, 4) float32
+
+    @property
+    def has_skinning(self) -> bool:
+        # weight layout (1,0,0,0) on bone 0 (identity) means unskinned
+        return bool(self.skin_indices.shape[0] > 0)
 
     @property
     def num_faces(self) -> int:
@@ -53,26 +60,60 @@ class Scene:
 
     def pack(self) -> PackedScene:
         positions, normals, faces, vert_ids, mats = [], [], [], [], []
+        skin_idx, skin_wgt = [], []
         offset = 0
+        bone_offset = 1  # global bone 0 is the identity for unskinned verts
         for i, mesh in enumerate(self.meshes):
             if not mesh.visible:
                 # keep the mesh slot (matrices stay index-aligned) but
                 # contribute no geometry
                 mats.append(mesh.material.as_row())
+                if mesh.bone_matrices is not None:
+                    bone_offset += len(mesh.bone_matrices)
                 continue
+            nv = len(mesh.positions)
             positions.append(mesh.positions)
             normals.append(mesh.normals)
             faces.append(mesh.faces + offset)
-            vert_ids.append(np.full(len(mesh.positions), i, np.int32))
+            vert_ids.append(np.full(nv, i, np.int32))
             mats.append(mesh.material.as_row())
-            offset += len(mesh.positions)
+            if mesh.skin_indices is not None:
+                skin_idx.append(mesh.skin_indices.astype(np.int32) + bone_offset)
+                skin_wgt.append(mesh.skin_weights.astype(np.float32))
+            else:
+                skin_idx.append(np.zeros((nv, 4), np.int32))
+                w = np.zeros((nv, 4), np.float32)
+                w[:, 0] = 1.0
+                skin_wgt.append(w)
+            if mesh.bone_matrices is not None:
+                bone_offset += len(mesh.bone_matrices)
+            offset += nv
         return PackedScene(
             positions=jnp.asarray(np.concatenate(positions), jnp.float32),
             normals=jnp.asarray(np.concatenate(normals), jnp.float32),
             faces=jnp.asarray(np.concatenate(faces), jnp.int32),
             vert_mesh_id=jnp.asarray(np.concatenate(vert_ids), jnp.int32),
             materials=jnp.asarray(np.stack(mats), jnp.float32),
+            skin_indices=jnp.asarray(np.concatenate(skin_idx), jnp.int32),
+            skin_weights=jnp.asarray(np.concatenate(skin_wgt), jnp.float32),
         )
+
+    # --- bone palettes (identity bone 0 + per-mesh palettes) ------------
+    def num_bones(self) -> int:
+        return 1 + sum(
+            len(m.bone_matrices) for m in self.meshes if m.bone_matrices is not None
+        )
+
+    def bone_matrices(self, prev: bool = False) -> np.ndarray:
+        mats = [np.eye(4)]
+        for m in self.meshes:
+            if m.bone_matrices is None:
+                continue
+            src = m.prev_bone_matrices if prev else m.bone_matrices
+            if src is None:
+                src = m.bone_matrices
+            mats.extend(np.asarray(src))
+        return np.stack(mats).astype(np.float32)
 
     def model_matrices(self) -> jnp.ndarray:
         return jnp.asarray(

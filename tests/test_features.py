@@ -1,0 +1,74 @@
+"""Feature-option tests: resolution scale, dilation, box env, direct light."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from realism_effects_tpu import (
+    EffectComposer, Material, PerspectiveCamera, Scene, SSGIEffect,
+    build_equirect_env, make_box, make_plane, procedural_sky, translation,
+)
+from realism_effects_tpu.core.framebuffers import VelocityBuffer
+from realism_effects_tpu.ops.temporal_reproject import _dilate_closest
+
+
+def _scene():
+    scene = Scene()
+    scene.environment = build_equirect_env(procedural_sky(32, 64))
+    scene.add(make_plane(20, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
+    box = scene.add(make_box((1, 1, 1), Material(diffuse=(0.9, 0.3, 0.2, 1.0))))
+    box.set_matrix(translation(0, 0.5, 0))
+    cam = PerspectiveCamera(50, 1, 0.1, 100)
+    cam.set_position(3, 2.5, 4)
+    cam.look_at((0, 0.5, 0))
+    return scene, cam
+
+
+class TestResolutionScale:
+    def test_half_res_ssgi_runs(self):
+        scene, cam = _scene()
+        c = EffectComposer(scene, cam, 96, 96)
+        c.add_effect(SSGIEffect(steps=6, refine_steps=2, resolution_scale=0.5))
+        for _ in range(3):
+            img = np.asarray(c.render())
+        assert np.isfinite(img).all()
+        assert img.max() > 0.01
+
+    def test_preset_low_uses_half_res(self):
+        e = SSGIEffect(preset="low")
+        assert e.resolution_scale == 0.5
+
+
+class TestVelocityDilation:
+    def test_closest_depth_wins(self):
+        h = w = 8
+        depth = jnp.ones((h, w)) * 0.9
+        depth = depth.at[4, 4].set(0.1)  # one very close pixel
+        vel = jnp.zeros((h, w, 2)).at[4, 4].set(jnp.asarray([0.5, 0.0]))
+        buf = VelocityBuffer(
+            velocity=vel, normal=jnp.zeros((h, w, 3)), depth=depth
+        )
+        dv, dn, dd = _dilate_closest(buf)
+        # neighbors of (4,4) adopt its velocity and depth
+        assert abs(float(dd[4, 5]) - 0.1) < 1e-6
+        assert abs(float(dv[3, 3, 0]) - 0.5) < 1e-6
+        # far away pixels unchanged
+        assert float(dv[0, 0, 0]) == 0.0
+
+
+class TestSSGIOptions:
+    def test_use_direct_light(self):
+        scene, cam = _scene()
+        c = EffectComposer(scene, cam, 64, 64)
+        c.add_effect(SSGIEffect(steps=4, refine_steps=1, use_direct_light=True))
+        img = np.asarray(c.render())
+        assert np.isfinite(img).all()
+
+    def test_box_projected_env(self):
+        scene, cam = _scene()
+        c = EffectComposer(scene, cam, 64, 64)
+        c.add_effect(SSGIEffect(
+            steps=4, refine_steps=1,
+            env_box=((10.0, 10.0, 10.0), (0.0, 2.0, 0.0)),
+        ))
+        img = np.asarray(c.render())
+        assert np.isfinite(img).all()
