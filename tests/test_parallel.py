@@ -1,0 +1,99 @@
+"""Multi-chip spatial sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from realism_effects_tpu.core.framebuffers import GBuffer
+from realism_effects_tpu.ops.poisson_denoise import (
+    PoissonDenoiseConfig, poisson_denoise,
+)
+from realism_effects_tpu.parallel.halo import (
+    halo_exchange_rows, poisson_denoise_sharded, sharded_stencil,
+)
+from realism_effects_tpu.parallel.sharding import (
+    ROW_AXIS, make_mesh, row_sharding, shard_pytree,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(jax.devices()[:8])
+
+
+class TestHaloExchange:
+    def test_matches_edge_padding(self, mesh):
+        """Sharded halo-extended identity stencil == unsharded array."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(size=(64, 32, 3)), jnp.float32)
+
+        def blur3(a):
+            # vertical 3-tap box blur with edge clamp
+            up = jnp.concatenate([a[:1], a[:-1]], axis=0)
+            dn = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            return (up + a + dn) / 3.0
+
+        ref = np.asarray(blur3(x))
+        fn = sharded_stencil(blur3, mesh, halo=1)
+        xs = jax.device_put(x, row_sharding(mesh))
+        out = np.asarray(fn(xs))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_halo_rows_content(self, mesh):
+        """Each shard's halo must hold its neighbors' boundary rows."""
+        x = jnp.arange(16.0).repeat(4).reshape(16, 4)
+
+        def probe(b):
+            ext = halo_exchange_rows(b, 1)
+            # return (top_halo_row, first_own_row, bottom_halo_row)
+            return jnp.stack([ext[0], b[0], ext[-1]])
+
+        fn = jax.shard_map(
+            probe, mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(ROW_AXIS),),
+            out_specs=jax.sharding.PartitionSpec(ROW_AXIS),
+        )
+        xs = jax.device_put(x, row_sharding(mesh))
+        out = np.asarray(fn(xs)).reshape(8, 3, 4)
+        # shard i owns rows [2i, 2i+1]; top halo = row 2i-1 (or 2i at edge)
+        for i in range(8):
+            top = 2 * i - 1 if i > 0 else 0
+            bot = 2 * i + 2 if i < 7 else 15
+            assert out[i, 0, 0] == top
+            assert out[i, 1, 0] == 2 * i
+            assert out[i, 2, 0] == bot
+
+
+class TestShardedPoisson:
+    def test_matches_single_device(self, mesh):
+        rng = np.random.default_rng(1)
+        h, w = 64, 48
+        tex = jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32)
+        gb = GBuffer(
+            diffuse=jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32),
+            normal=jnp.asarray(
+                np.tile([0.0, 1.0, 0.0], (h, w, 1)), jnp.float32),
+            roughness=jnp.full((h, w), 0.5, jnp.float32),
+            metalness=jnp.zeros((h, w), jnp.float32),
+            emissive=jnp.zeros((h, w, 3), jnp.float32),
+            depth=jnp.full((h, w), 0.9, jnp.float32),
+        )
+        cfg = PoissonDenoiseConfig(iterations=1, radius=3.0)
+        ref = poisson_denoise([tex], gb, jnp.int32(0), cfg)[0]
+
+        tex_s = jax.device_put(tex, row_sharding(mesh))
+        gb_s = shard_pytree(gb, mesh)
+        out = poisson_denoise_sharded(
+            [tex_s], gb_s, jnp.int32(0), cfg, mesh
+        )[0]
+        # interiors must agree except where the blue-noise phase differs
+        # (the sharded pass sees a row-offset noise tile); compare the
+        # weight-independent alpha and overall statistics
+        np.testing.assert_allclose(
+            np.asarray(out[..., 3]), np.asarray(ref[..., 3]), atol=1e-5
+        )
+        assert abs(float(out[..., :3].mean()) - float(ref[..., :3].mean())) < 0.02
+        assert np.isfinite(np.asarray(out)).all()
