@@ -1,0 +1,194 @@
+"""Demo / integration harness for realism_effects_tpu.
+
+The TPU analog of the reference's example app
+(`/root/reference/example/main.js`): named scenes (including the TRAA
+torture scene the reference loads with ``?traa_test`` and the AO
+inspection scene from ``?ao``), a configurable effect stack, per-frame
+timing stats (the `stats-gl` analog), and PNG frame dumps.
+
+Usage:
+  python examples/demo.py --scene showcase --frames 60 --size 512 \
+      --effects ssgi,hbao,traa --out /tmp/demo
+  python examples/demo.py --scene traa_test --aa traa   # AA comparison
+  python examples/demo.py --scene ao --effects hbao
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_scene(name: str):
+    from realism_effects_tpu import (
+        Material, PerspectiveCamera, Scene, build_equirect_env, make_box,
+        make_plane, make_sphere, procedural_sky, rotation_y, translation,
+    )
+
+    scene = Scene()
+    scene.environment = build_equirect_env(procedural_sky(64, 128))
+
+    if name == "showcase":
+        scene.sun_intensity = 1.2
+        scene.add(make_plane(24, Material(diffuse=(0.65, 0.65, 0.68, 1.0),
+                                          roughness=0.85)))
+        panel = scene.add(make_box((0.2, 2, 2), Material(
+            diffuse=(1.0, 0.2, 0.1, 1.0), emissive=(10.0, 1.2, 0.5))))
+        panel.set_matrix(translation(-1.5, 1.0, 0))
+        wall = scene.add(make_box((0.2, 2, 2), Material(
+            diffuse=(0.85, 0.85, 0.85, 1.0))))
+        wall.set_matrix(translation(1.5, 1.0, 0))
+        ball = scene.add(make_sphere(0.5, material=Material(
+            diffuse=(0.9, 0.9, 0.9, 1.0), roughness=0.12, metalness=0.9)))
+        ball.set_matrix(translation(0, 0.5, 1.2))
+        glass = scene.add(make_box((0.8, 1.2, 0.1), Material(
+            diffuse=(0.4, 0.8, 1.0, 0.4))))
+        glass.set_matrix(translation(0.2, 0.6, 2.2))
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(0.5, 1.8, 5)
+        cam.look_at((0, 1.0, 0))
+        animate = None
+
+    elif name == "traa_test":
+        # AA torture: fans of thin rotated slats (`main.js:814-947` analog)
+        scene.add(make_plane(30, Material(diffuse=(0.55, 0.55, 0.6, 1.0))))
+        for i in range(24):
+            slat = scene.add(make_box((0.02, 1.8, 0.02), Material(
+                diffuse=(0.9, 0.85, 0.2, 1.0))))
+            ang = i / 24 * np.pi
+            m = translation(np.cos(ang) * 2, 0.9, np.sin(ang) * 2) @ rotation_y(ang)
+            slat.set_matrix(m)
+        for i in range(10):
+            bar = scene.add(make_box((4.0, 0.015, 0.015), Material(
+                diffuse=(0.2, 0.8, 0.9, 1.0))))
+            bar.set_matrix(translation(0, 0.2 + 0.18 * i, -2.0))
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(3.5, 2.2, 4.5)
+        cam.look_at((0, 0.8, 0))
+        animate = None
+
+    elif name == "ao":
+        # columned room (Sponza-ish AO inspection, `main.js:299-302` analog)
+        scene.add(make_plane(20, Material(diffuse=(0.7, 0.68, 0.62, 1.0))))
+        for ix in range(-2, 3):
+            for iz in (-1.5, 1.5):
+                col = scene.add(make_box((0.4, 3.0, 0.4), Material(
+                    diffuse=(0.72, 0.7, 0.66, 1.0))))
+                col.set_matrix(translation(ix * 1.6, 1.5, iz))
+        roof = scene.add(make_box((8.0, 0.3, 4.4), Material(
+            diffuse=(0.7, 0.68, 0.64, 1.0))))
+        roof.set_matrix(translation(0, 3.1, 0))
+        cam = PerspectiveCamera(55, 1, 0.1, 100)
+        cam.set_position(4.5, 1.7, 4.5)
+        cam.look_at((0, 1.4, 0))
+        animate = None
+
+    elif name == "dynamic":
+        scene.add(make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
+        box = scene.add(make_box((1, 1, 1), Material(
+            diffuse=(0.9, 0.3, 0.2, 1.0), roughness=0.4)))
+        box.set_matrix(translation(0, 0.5, 0))
+        ball = scene.add(make_sphere(0.5, material=Material(
+            diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.2, metalness=0.8)))
+        ball.set_matrix(translation(1.5, 0.5, 0.5))
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+
+        def animate(frame: int):
+            t = frame / 60.0
+            box.set_matrix(
+                translation(np.sin(t * 2.5) * 1.2, 0.5, 0) @ rotation_y(t * 3)
+            )
+            ang = 0.6 + t * 0.6
+            cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
+            cam.look_at((0, 0.5, 0))
+
+        animate(0)
+    else:
+        raise SystemExit(f"unknown scene {name!r}")
+
+    return scene, cam, animate
+
+
+def build_effects(names, aa: str):
+    from realism_effects_tpu import (
+        GradualBackgroundEffect, GTAOEffect, HBAOEffect, LensDistortionEffect,
+        MotionBlurEffect, SharpnessEffect, SparkleEffect, SSGIEffect,
+        SSREffect, TAAPass, TRAAEffect,
+    )
+
+    table = {
+        "ssgi": lambda: SSGIEffect(),
+        "ssr": lambda: SSREffect(),
+        "hbao": lambda: HBAOEffect(),
+        "gtao": lambda: GTAOEffect(),
+        "motion_blur": lambda: MotionBlurEffect(),
+        "sharpness": lambda: SharpnessEffect(),
+        "sparkle": lambda: SparkleEffect(),
+        "lens_distortion": lambda: LensDistortionEffect(),
+        "gradual_background": lambda: GradualBackgroundEffect((0.1, 0.12, 0.18)),
+    }
+    effects = [table[n.strip()]() for n in names if n.strip()]
+    if aa == "traa":
+        effects.append(TRAAEffect())
+    elif aa == "taa":
+        effects.append(TAAPass())
+    return effects
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="showcase",
+                    choices=["showcase", "traa_test", "ao", "dynamic"])
+    ap.add_argument("--effects", default="ssgi,hbao")
+    ap.add_argument("--aa", default="traa", choices=["traa", "taa", "none"])
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--out", default="/tmp/re_tpu_demo")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="dump every Nth frame (0 = final only)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from realism_effects_tpu import EffectComposer, save_frame
+
+    scene, cam, animate = build_scene(args.scene)
+    composer = EffectComposer(scene, cam, args.size, args.size)
+    for e in build_effects(args.effects.split(","), args.aa):
+        composer.add_effect(e)
+
+    os.makedirs(args.out, exist_ok=True)
+    times = []
+    img = None
+    for f in range(args.frames):
+        if animate:
+            animate(f)
+        t0 = time.perf_counter()
+        img = composer.render()
+        img.block_until_ready()
+        times.append((time.perf_counter() - t0) * 1000)
+        if args.save_every and f % args.save_every == 0:
+            save_frame(os.path.join(args.out, f"frame_{f:04d}.png"),
+                       np.asarray(img))
+
+    save_frame(os.path.join(args.out, "final.png"), np.asarray(img))
+    steady = times[2:] if len(times) > 4 else times
+    print(
+        f"scene={args.scene} effects={args.effects}+{args.aa} "
+        f"size={args.size} frames={args.frames}: "
+        f"first {times[0]:.0f} ms, steady median {np.median(steady):.2f} ms "
+        f"({1000.0 / max(np.median(steady), 1e-6):.0f} fps) -> {args.out}/final.png"
+    )
+
+
+if __name__ == "__main__":
+    main()
