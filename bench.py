@@ -5,8 +5,12 @@ Baseline (BASELINE.md north star): full SSGI+HBAO+TRAA+motion-blur stack
 at 1080p in < 8 ms/frame on one v5e chip. vs_baseline = baseline_ms /
 measured_ms (>1 means faster than target).
 
-The stack benched here grows as effects land; the metric name always
-reflects the current flagship pipeline at 1920x1080.
+``--config N`` (1..5) instead runs one of BASELINE.md's staged configs:
+  1: VelocityDepthNormal + TRAA at 512x512
+  2: HBAO + Poisson denoise (4 iterations) at 1080p, static scene
+  3: Motion blur + TRAA, animated orbit at 1080p
+  4: SSGI (steps=20/refine=5) + temporal + denoiser at 1080p
+  5: full stack + importance sampling, dynamic scene at 4K
 """
 
 from __future__ import annotations
@@ -52,7 +56,89 @@ def build_composer():
     return composer, cam
 
 
+def build_config(n: int):
+    from realism_effects_tpu import (
+        EffectComposer, HBAOEffect, Material, MotionBlurEffect,
+        PerspectiveCamera, Scene, SSGIEffect, TRAAEffect,
+        build_equirect_env, make_box, make_plane, make_sphere,
+        procedural_sky, rotation_y, translation,
+    )
+    import numpy as _np
+
+    sizes = {1: (512, 512), 2: (1080, 1920), 3: (1080, 1920),
+             4: (1080, 1920), 5: (2160, 3840)}
+    h, w = sizes[n]
+    scene = Scene()
+    scene.environment = build_equirect_env(procedural_sky(64, 128))
+    scene.add(make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
+    box = scene.add(make_box((1, 1, 1), Material(diffuse=(0.9, 0.3, 0.2, 1.0))))
+    box.set_matrix(translation(0, 0.5, 0))
+    sph = scene.add(make_sphere(0.6, material=Material(
+        diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.2, metalness=0.8)))
+    sph.set_matrix(translation(1.5, 0.6, 0.5))
+    cam = PerspectiveCamera(50, w / h, 0.1, 100)
+    cam.set_position(3, 2.5, 4)
+    cam.look_at((0, 0.5, 0))
+    composer = EffectComposer(scene, cam, h, w)
+    if n == 1:
+        composer.add_effect(TRAAEffect())
+        animate = None
+    elif n == 2:
+        composer.add_effect(HBAOEffect(denoise_iterations=4))
+        animate = None
+    elif n == 3:
+        composer.add_effect(MotionBlurEffect())
+        composer.add_effect(TRAAEffect())
+
+        def animate(f):
+            ang = 0.6 + 0.02 * f
+            cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
+            cam.look_at((0, 0.5, 0))
+    elif n == 4:
+        composer.add_effect(SSGIEffect(steps=20, refine_steps=5))
+        animate = None
+    else:
+        composer.add_effect(SSGIEffect())
+        composer.add_effect(HBAOEffect())
+        composer.add_effect(MotionBlurEffect())
+        composer.add_effect(TRAAEffect())
+
+        def animate(f):
+            t = f / 60.0
+            box.set_matrix(
+                translation(np.sin(t * 2.5) * 1.2, 0.5, 0) @ rotation_y(t * 3)
+            )
+            ang = 0.6 + 0.01 * f
+            cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
+            cam.look_at((0, 0.5, 0))
+    return composer, animate, f"baseline_config_{n}_{h}p"
+
+
+def run_config(n: int):
+    composer, animate, name = build_config(n)
+    for f in range(WARMUP):
+        if animate:
+            animate(f)
+        composer.render().block_until_ready()
+    times = []
+    for f in range(ITERS):
+        if animate:
+            animate(WARMUP + f)
+        t0 = time.perf_counter()
+        composer.render().block_until_ready()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    ms = float(np.median(times))
+    print(json.dumps({
+        "metric": name, "value": round(ms, 3), "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / ms, 3),
+    }))
+
+
 def main():
+    import sys
+    if "--config" in sys.argv:
+        run_config(int(sys.argv[sys.argv.index("--config") + 1]))
+        return
     composer, cam = build_composer()
 
     # warmup / compile (camera orbits so velocity paths stay live)

@@ -25,25 +25,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_ROWS = 128
+def _block_rows(w: int) -> int:
+    """Row-block height: shrink for wide images so the 3-slab halo inputs
+    + temporaries stay inside scoped VMEM (~16 MB default)."""
+    if w <= 2048:
+        return 128
+    if w <= 4096:
+        return 64
+    return 32
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _plane_specs(h: int, w: int):
+def _plane_specs(h: int, w: int, block_rows: int):
     """3-slab halo specs over (C, H, W) planes, grid (C, H//BLOCK)."""
 
     def make_map(off):
-        n_blocks = h // _BLOCK_ROWS
+        n_blocks = h // block_rows
 
         def index_map(c, i):
             return (c, jnp.clip(i + off, 0, n_blocks - 1), 0)
 
         return index_map
 
-    shape = (1, _BLOCK_ROWS, w)
+    shape = (1, block_rows, w)
     in_specs = [
         pl.BlockSpec(shape, make_map(-1), memory_space=pltpu.VMEM),
         pl.BlockSpec(shape, make_map(0), memory_space=pltpu.VMEM),
@@ -53,18 +60,18 @@ def _plane_specs(h: int, w: int):
     return in_specs, out_spec
 
 
-def _mask_specs(h: int, w: int):
+def _mask_specs(h: int, w: int, block_rows: int):
     """Same 3-slab specs for an (H, W) mask shared across channels."""
 
     def make_map(off):
-        n_blocks = h // _BLOCK_ROWS
+        n_blocks = h // block_rows
 
         def index_map(c, i):
             return (jnp.clip(i + off, 0, n_blocks - 1), 0)
 
         return index_map
 
-    shape = (_BLOCK_ROWS, w)
+    shape = (block_rows, w)
     return [
         pl.BlockSpec(shape, make_map(-1), memory_space=pltpu.VMEM),
         pl.BlockSpec(shape, make_map(0), memory_space=pltpu.VMEM),
@@ -72,11 +79,11 @@ def _mask_specs(h: int, w: int):
     ]
 
 
-def _to_planar(x: jnp.ndarray):
+def _to_planar(x: jnp.ndarray, block_rows: int):
     """(H, W, C) -> (C, H', W) with rows padded to the block size."""
     x = jnp.moveaxis(x, -1, 0)
     h = x.shape[1]
-    pad = (-h) % _BLOCK_ROWS
+    pad = (-h) % block_rows
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="edge")
     return x, h
@@ -148,16 +155,19 @@ def _sharpness_kernel(prev_ref, cur_ref, next_ref, sharp_ref, out_ref):
 def sharpness_3x3(color: jnp.ndarray, sharpness) -> jnp.ndarray:
     """Pallas unsharp mask (drop-in for the jnp path in
     ``effects/finishing.SharpnessEffect``)."""
-    x, orig_h = _to_planar(color)
+    br = _block_rows(color.shape[1])
+    x, orig_h = _to_planar(color, br)
     c, h, w = x.shape
-    in_specs, out_spec = _plane_specs(h, w)
+    in_specs, out_spec = _plane_specs(h, w, br)
     sharp = jnp.asarray([sharpness], jnp.float32)
     out = pl.pallas_call(
         _sharpness_kernel,
-        grid=(c, h // _BLOCK_ROWS),
+        grid=(c, h // br),
         in_specs=in_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_use_interpret(),
     )(x, x, x, sharp)
     return jnp.moveaxis(out[:, :orig_h], 0, -1)
@@ -212,22 +222,25 @@ def _minmax_kernel(tp_ref, tc_ref, tn_ref, mp_ref, mc_ref, mn_ref,
 def neighborhood_minmax(tex: jnp.ndarray, radius: int):
     """Pallas neighborhood AABB over a (2r+1)^2 window, skipping texels
     whose first channel is negative (`reproject.frag:53-81`)."""
-    x, orig_h = _to_planar(tex)
+    br = _block_rows(tex.shape[1])
+    x, orig_h = _to_planar(tex, br)
     c, h, w = x.shape
-    in_specs, out_spec = _plane_specs(h, w)
-    mask_specs = _mask_specs(h, w)
+    in_specs, out_spec = _plane_specs(h, w, br)
+    mask_specs = _mask_specs(h, w, br)
     # validity mask from the first channel, padded the same way
     mask = x[0]
     kernel = functools.partial(_minmax_kernel, radius=radius)
     mn, mx = pl.pallas_call(
         kernel,
-        grid=(c, h // _BLOCK_ROWS),
+        grid=(c, h // br),
         in_specs=in_specs + mask_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((c, h, w), x.dtype),
             jax.ShapeDtypeStruct((c, h, w), x.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_use_interpret(),
     )(x, x, x, mask, mask, mask)
     return (

@@ -189,15 +189,24 @@ def _pixel_weights(clip: jnp.ndarray, faces: jnp.ndarray, ids: jnp.ndarray,
 
     With homogeneous edge functions, lambda_i = e_i / sum(e) is already
     perspective-correct. Returns (vidx (H,W,3), weights (H,W,3), valid).
+
+    Gathers run per vertex slot — a fused (H, W, 3, 3) gather would carry
+    tiny minor dims that TPU tiling pads ~40x (OOM at 4K).
     """
     safe_ids = jnp.maximum(ids, 0)
     vidx = faces[safe_ids]                 # (H, W, 3)
     hverts = _homogeneous_verts(clip, height, width)
-    tri_h = hverts[vidx]                   # (H, W, 3, 3)
-    scale = 1.0 / (jnp.sum(jnp.abs(tri_h[..., 2]), axis=-1, keepdims=True)[..., None] + 1e-6)
-    tri_h = tri_h * scale
+    h0 = hverts[vidx[..., 0]]              # (H, W, 3) each
+    h1 = hverts[vidx[..., 1]]
+    h2 = hverts[vidx[..., 2]]
+    scale = 1.0 / (
+        jnp.abs(h0[..., 2]) + jnp.abs(h1[..., 2]) + jnp.abs(h2[..., 2]) + 1e-6
+    )[..., None]
+    h0 = h0 * scale
+    h1 = h1 * scale
+    h2 = h2 * scale
 
-    (c0, c1, c2), _ = _edge_coeffs(tri_h[..., 0, :], tri_h[..., 1, :], tri_h[..., 2, :])
+    (c0, c1, c2), _ = _edge_coeffs(h0, h1, h2)
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
     e = jnp.stack(
@@ -209,9 +218,12 @@ def _pixel_weights(clip: jnp.ndarray, faces: jnp.ndarray, ids: jnp.ndarray,
 
 
 def _interp(attr: jnp.ndarray, vidx: jnp.ndarray, weights: jnp.ndarray):
-    """Interpolate per-vertex attribute (V, C) -> (H, W, C)."""
-    vals = attr[vidx]                      # (H, W, 3, C)
-    return jnp.sum(vals * weights[..., None], axis=-2)
+    """Interpolate per-vertex attribute (V, C) -> (H, W, C).
+
+    Per-slot gathers to avoid a padded (H, W, 3, C) temporary."""
+    out = attr[vidx[..., 0]] * weights[..., 0:1]
+    out = out + attr[vidx[..., 1]] * weights[..., 1:2]
+    return out + attr[vidx[..., 2]] * weights[..., 2:3]
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
