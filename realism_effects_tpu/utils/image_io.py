@@ -59,6 +59,67 @@ def write_png(path: str, image: np.ndarray, flip_v: bool = True):
         f.write(png)
 
 
+def read_hdr(path: str) -> np.ndarray:
+    """Read a Radiance RGBE ``.hdr`` file into (H, W, 3) float32.
+
+    Covers the env-map ingestion the reference does through three.js'
+    RGBELoader (`example/main.js` HDR assets). Supports the common
+    32-bit_rle_rgbe format with new-style RLE scanlines.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # header
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance HDR file")
+    pos = data.find(b"\n\n")
+    if pos < 0:
+        raise ValueError("malformed HDR header")
+    header = data[:pos].decode("latin-1")
+    if "32-bit_rle_rgbe" not in header and "FORMAT" in header:
+        raise ValueError("unsupported HDR format")
+    pos += 2
+    eol = data.find(b"\n", pos)
+    dims = data[pos:eol].decode("latin-1").split()
+    if len(dims) != 4 or dims[0] != "-Y" or dims[2] != "+X":
+        raise ValueError(f"unsupported HDR orientation: {dims}")
+    height, width = int(dims[1]), int(dims[3])
+    pos = eol + 1
+
+    rgbe = np.zeros((height, width, 4), np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    for y in range(height):
+        # new-style RLE scanline marker: 0x02 0x02 hi lo
+        if (buf[pos] == 2 and buf[pos + 1] == 2
+                and (int(buf[pos + 2]) << 8 | int(buf[pos + 3])) == width):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < width:
+                    count = int(buf[pos]); pos += 1
+                    if count > 128:  # run
+                        rgbe[y, x: x + count - 128, c] = buf[pos]
+                        pos += 1
+                        x += count - 128
+                    else:            # literal
+                        rgbe[y, x: x + count, c] = buf[pos: pos + count]
+                        pos += count
+                        x += count
+        else:  # flat scanline
+            row = buf[pos: pos + width * 4].reshape(width, 4)
+            rgbe[y] = row
+            pos += width * 4
+
+    # decode RGBE -> float (native half/float helpers share the codec;
+    # same math as core.packing.decode_rgbe8 on byte data)
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp == 0, 0.0, np.ldexp(1.0, exp - 136))
+    rgb = rgbe[..., :3].astype(np.float32) * scale[..., None]
+    rgb = np.where((exp == 0)[..., None], 0.0, rgb).astype(np.float32)
+    # internal convention: row 0 = bottom; Radiance stores top-down (-Y)
+    return rgb[::-1]
+
+
 def save_frame(path: str, hdr_rgb, tonemap: bool = True):
     """Tonemap + sRGB-encode an HDR (H, W, 3) frame and write a PNG."""
     img = np.asarray(hdr_rgb, np.float32)
