@@ -12,7 +12,6 @@ jitted frame function.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 import chex

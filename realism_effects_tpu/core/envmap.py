@@ -20,7 +20,7 @@ import numpy as np
 from .math3d import luminance
 from .sampling import (
     MipAtlas, build_mip_atlas, build_mip_chain, sample_bilinear,
-    sample_bilinear_mip, sample_mip_atlas,
+    sample_mip_atlas,
 )
 
 

@@ -8,10 +8,6 @@ here (the reference's is broken and unexported — SURVEY.md §2.1).
 
 from __future__ import annotations
 
-import dataclasses
-
-import jax.numpy as jnp
-
 from ..ops.ao import AOConfig, gtao, hbao
 from ..ops.compose import ao_compose
 from ..ops.poisson_denoise import PoissonDenoiseConfig, poisson_denoise_ao

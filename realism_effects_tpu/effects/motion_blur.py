@@ -8,12 +8,7 @@ the per-pixel velocity, frame-rate normalized by ``frameSpeed =
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-from ..core.math3d import mix, uv_grid
-from ..core.rng import blue_noise_image
-from ..core.sampling import sample_bilinear
-from ..ops import motion_blur as _op  # re-export site for ops parity
+from ..ops import motion_blur as _op
 from .base import Effect
 
 

@@ -16,8 +16,6 @@ feedback topology is reproduced exactly (SURVEY.md §7 "hard parts" #1):
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 
 from ..ops.compose import ssgi_compose

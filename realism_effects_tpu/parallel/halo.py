@@ -17,11 +17,9 @@ GSPMD sharding propagation (see ``__graft_entry__.dryrun_multichip``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.poisson_denoise import PoissonDenoiseConfig, poisson_denoise
 from .sharding import ROW_AXIS
@@ -64,12 +62,10 @@ def poisson_denoise_sharded(textures, gbuffer, frame, cfg: PoissonDenoiseConfig,
     """
     halo = int(cfg.radius) + 2  # max tap offset + bilinear footprint
 
-    import dataclasses
     # taps use uv offsets computed against the *extended* block height, so
     # the kernel itself is unchanged; only the blue-noise phase differs by
     # the halo offset (acceptable: it is a per-pixel random rotation).
     def local_fn(*args):
-        n_tex = cfg.texture_count if hasattr(cfg, "texture_count") else len(textures)
         texs = list(args[:len(textures)])
         gb_leaves = args[len(textures):]
         gb = jax.tree_util.tree_unflatten(gb_treedef, gb_leaves)
@@ -83,7 +79,6 @@ def poisson_denoise_sharded(textures, gbuffer, frame, cfg: PoissonDenoiseConfig,
 
     gb_leaves, gb_treedef = jax.tree_util.tree_flatten(gbuffer)
 
-    shard = NamedSharding(mesh, P(ROW_AXIS))
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,

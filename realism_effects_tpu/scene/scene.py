@@ -14,7 +14,7 @@ import chex
 import jax.numpy as jnp
 import numpy as np
 
-from .geometry import MATERIAL_ROW_SIZE, Material, Mesh
+from .geometry import Mesh
 
 
 @chex.dataclass(frozen=True)

@@ -1,5 +1,7 @@
 """Multi-chip spatial sharding tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -68,6 +70,12 @@ class TestHaloExchange:
 
 
 class TestShardedPoisson:
+    @pytest.mark.skipif(
+        os.environ.get("RE_TPU_SLOW_TESTS") != "1",
+        reason="~10 min shard_map compile on the CPU mesh; "
+               "set RE_TPU_SLOW_TESTS=1 to run (halo correctness is "
+               "covered by the fast TestHaloExchange tests)",
+    )
     def test_matches_single_device(self, mesh):
         rng = np.random.default_rng(1)
         h, w = 64, 48
