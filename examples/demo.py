@@ -47,9 +47,6 @@ def build_scene(name: str):
         ball = scene.add(make_sphere(0.5, material=Material(
             diffuse=(0.9, 0.9, 0.9, 1.0), roughness=0.12, metalness=0.9)))
         ball.set_matrix(translation(0, 0.5, 1.2))
-        glass = scene.add(make_box((0.8, 1.2, 0.1), Material(
-            diffuse=(0.4, 0.8, 1.0, 0.4))))
-        glass.set_matrix(translation(0.2, 0.6, 2.2))
         cam = PerspectiveCamera(50, 1, 0.1, 100)
         cam.set_position(0.5, 1.8, 5)
         cam.look_at((0, 1.0, 0))
