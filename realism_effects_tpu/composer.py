@@ -420,3 +420,57 @@ class EffectComposer:
     def state(self, effect_name: str):
         """Inspect an effect's state pytree (observability hook)."""
         return self._state[effect_name] if self._state else None
+
+    # --- checkpoint / resume -------------------------------------------
+    # The reference's only persistent state is GPU-resident history
+    # textures (SURVEY.md §5 "checkpoint/resume: absent"). Here the whole
+    # temporal state is an explicit pytree, so serialization is free.
+    def save_state(self, path: str):
+        """Serialize the full temporal state + frame counters to ``path``
+        (.npz). Resume with :meth:`load_state` on a composer with the
+        same effect stack and resolution."""
+        if self._state is None:
+            raise RuntimeError("no state yet: render at least one frame")
+        leaves, treedef = jax.tree_util.tree_flatten(self._state)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrays["__frame__"] = np.asarray(self.frame)
+        arrays["__cnmf__"] = np.asarray(self.camera_not_moved_frames)
+        arrays["__prev_world__"] = np.asarray(
+            self._prev_world if self._prev_world is not None else np.eye(4))
+        arrays["__prev_proj__"] = np.asarray(
+            self._prev_proj if self._prev_proj is not None else np.eye(4))
+        np.savez(path, **arrays)
+
+    def load_state(self, path: str):
+        """Restore temporal state saved by :meth:`save_state`."""
+        if self._state is None:
+            # materialize the structure to unflatten into
+            self._packed = self._packed or self.scene.pack()
+            self._layout = self._build_layout()
+            self._build_stages()
+            self._static_sig = tuple(
+                (e.name, e.static_key()) for e in self.effects)
+            self._state = self._init_state()
+        data = np.load(path)
+        leaves, treedef = jax.tree_util.tree_flatten(self._state)
+        restored = [
+            jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
+        ]
+        self._state = jax.tree_util.tree_unflatten(treedef, restored)
+        self.frame = int(data["__frame__"])
+        self.camera_not_moved_frames = int(data["__cnmf__"])
+        self._prev_world = np.asarray(data["__prev_world__"], np.float64)
+        self._prev_proj = np.asarray(data["__prev_proj__"], np.float64)
+        self._last_world = self._prev_world
+        self._reset_pending = False
+
+    # --- profiling ------------------------------------------------------
+    def profile(self, trace_dir: str, frames: int = 3):
+        """Capture a jax.profiler trace of ``frames`` rendered frames
+        (the stats-gl / `jax.profiler` observability analog, SURVEY §5)."""
+        jax.profiler.start_trace(trace_dir)
+        try:
+            for _ in range(frames):
+                self.render().block_until_ready()
+        finally:
+            jax.profiler.stop_trace()

@@ -15,12 +15,21 @@ import numpy as np
 
 @dataclasses.dataclass
 class Material:
-    """PBR material subset the G-buffer stores (`gbuffer_packing.glsl:3-9`)."""
+    """PBR material subset the G-buffer stores (`gbuffer_packing.glsl:3-9`).
+
+    ``map`` / ``emissive_map`` are optional (S, S, 3|4) float textures
+    multiplied onto the base colors, the subset of the 13 material-map
+    properties the reference's G-buffer material carries over
+    (`GBufferUtils.js:1-41`, `GBufferMaterial.js:46-96`). UV wrap is
+    repeat (three.js RepeatWrapping default).
+    """
 
     diffuse: tuple = (0.8, 0.8, 0.8, 1.0)
     roughness: float = 1.0
     metalness: float = 0.0
     emissive: tuple = (0.0, 0.0, 0.0)
+    map: "np.ndarray | None" = None
+    emissive_map: "np.ndarray | None" = None
 
     def as_row(self) -> np.ndarray:
         return np.array(
@@ -46,6 +55,8 @@ class Mesh:
     #: analog of three.js visibility honored by ``getVisibleChildren``
     #: (`/root/reference/src/utils/SceneUtils.js:17-30`)
     visible: bool = True
+    #: optional per-vertex texture coordinates (repeat-wrapped)
+    uvs: np.ndarray | None = None            # (V, 2) float32
     #: optional linear-blend skinning (K17 carries previous-frame bone
     #: matrices for skinned velocity, `VelocityDepthNormalMaterial.js:8-66`)
     skin_indices: np.ndarray | None = None   # (V, 4) int32 into bone list
@@ -114,7 +125,8 @@ def make_plane(size: float = 1.0, material: Material | None = None) -> Mesh:
     )
     normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
     faces = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
-    return Mesh(positions, normals, faces, material or Material())
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return Mesh(positions, normals, faces, material or Material(), uvs=uvs)
 
 
 def make_box(size=(1.0, 1.0, 1.0), material: Material | None = None) -> Mesh:
@@ -129,11 +141,13 @@ def make_box(size=(1.0, 1.0, 1.0), material: Material | None = None) -> Mesh:
         ((0, 0, 1), [(-hx, -hy, hz), (hx, -hy, hz), (hx, hy, hz), (-hx, hy, hz)]),
         ((0, 0, -1), [(hx, -hy, -hz), (-hx, -hy, -hz), (-hx, hy, -hz), (hx, hy, -hz)]),
     ]
-    positions, normals, faces = [], [], []
+    positions, normals, faces, uvs = [], [], [], []
+    quad_uv = [(0, 0), (1, 0), (1, 1), (0, 1)]
     for i, (n, quad) in enumerate(face_defs):
         base = 4 * i
         positions.extend(quad)
         normals.extend([n] * 4)
+        uvs.extend(quad_uv)
         faces.append([base, base + 1, base + 2])
         faces.append([base, base + 2, base + 3])
     return Mesh(
@@ -141,12 +155,13 @@ def make_box(size=(1.0, 1.0, 1.0), material: Material | None = None) -> Mesh:
         np.asarray(normals, np.float32),
         np.asarray(faces, np.int32),
         material or Material(),
+        uvs=np.asarray(uvs, np.float32),
     )
 
 
 def make_sphere(radius: float = 0.5, width_segments: int = 24,
                 height_segments: int = 16, material: Material | None = None) -> Mesh:
-    positions, normals = [], []
+    positions, normals, uvs = [], [], []
     for iy in range(height_segments + 1):
         v = iy / height_segments
         phi = v * np.pi
@@ -158,6 +173,7 @@ def make_sphere(radius: float = 0.5, width_segments: int = 24,
             )
             normals.append(n)
             positions.append(n * radius)
+            uvs.append((u, 1.0 - v))
     faces = []
     stride = width_segments + 1
     for iy in range(height_segments):
@@ -175,4 +191,5 @@ def make_sphere(radius: float = 0.5, width_segments: int = 24,
         np.asarray(normals, np.float32),
         np.asarray(faces, np.int32),
         material or Material(),
+        uvs=np.asarray(uvs, np.float32),
     )

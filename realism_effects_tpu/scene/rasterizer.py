@@ -226,6 +226,30 @@ def _interp(attr: jnp.ndarray, vidx: jnp.ndarray, weights: jnp.ndarray):
     return out + attr[vidx[..., 2]] * weights[..., 2:3]
 
 
+def _sample_atlas(atlas: jnp.ndarray, page: jnp.ndarray, uv: jnp.ndarray):
+    """Bilinear repeat-wrapped fetch from (N, S, S, C) at per-pixel page."""
+    s = atlas.shape[1]
+    x = jnp.mod(uv[..., 0], 1.0) * s - 0.5
+    y = jnp.mod(uv[..., 1], 1.0) * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def tap(yy, xx):
+        yy = jnp.mod(yy.astype(jnp.int32), s)
+        xx = jnp.mod(xx.astype(jnp.int32), s)
+        return atlas[page, yy, xx]
+
+    c00 = tap(y0, x0)
+    c01 = tap(y0, x0 + 1)
+    c10 = tap(y0 + 1, x0)
+    c11 = tap(y0 + 1, x0 + 1)
+    top = c00 + (c01 - c00) * fx
+    bot = c10 + (c11 - c10) * fx
+    return top + (bot - top) * fy
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
                       view_proj: jnp.ndarray, height: int, width: int,
@@ -248,14 +272,29 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
 
     mesh_id = packed.vert_mesh_id[vidx[..., 0]]
     mat = packed.materials[mesh_id]        # (H, W, 9)
+    diffuse = mat[..., 0:4]
+    emissive = mat[..., 6:9]
+
+    if packed.map_atlas.shape[0] > 0:
+        # textured materials: perspective-correct uv, repeat wrap, atlas
+        # page per mesh (`GBufferMaterial.js:46-96` map sampling)
+        uv = _interp(packed.uvs, vidx, wts)
+        m_page = packed.map_index[mesh_id]
+        e_page = packed.emissive_map_index[mesh_id]
+        tex = _sample_atlas(packed.map_atlas, jnp.maximum(m_page, 0), uv)
+        diffuse = jnp.where((m_page >= 0)[..., None], diffuse * tex, diffuse)
+        etex = _sample_atlas(packed.map_atlas, jnp.maximum(e_page, 0), uv)
+        emissive = jnp.where(
+            (e_page >= 0)[..., None], emissive * etex[..., :3], emissive
+        )
 
     vmask = valid[..., None]
     return GBuffer(
-        diffuse=jnp.where(vmask, mat[..., 0:4], 0.0),
+        diffuse=jnp.where(vmask, diffuse, 0.0),
         normal=jnp.where(vmask, nrm, 0.0),
         roughness=jnp.where(valid, mat[..., 4], 1.0),
         metalness=jnp.where(valid, mat[..., 5], 0.0),
-        emissive=jnp.where(vmask, mat[..., 6:9], 0.0),
+        emissive=jnp.where(vmask, emissive, 0.0),
         depth=depth01,
     )
 

@@ -28,6 +28,10 @@ class PackedScene:
     materials: jnp.ndarray   # (M, MATERIAL_ROW_SIZE)
     skin_indices: jnp.ndarray  # (V, 4) int32 into the global bone table
     skin_weights: jnp.ndarray  # (V, 4) float32
+    uvs: jnp.ndarray           # (V, 2) float32 texture coordinates
+    map_atlas: jnp.ndarray     # (N, S, S, 4) material textures (N may be 0)
+    map_index: jnp.ndarray     # (M,) int32 page into map_atlas, -1 = none
+    emissive_map_index: jnp.ndarray  # (M,) int32, -1 = none
 
     @property
     def has_skinning(self) -> bool:
@@ -37,6 +41,23 @@ class PackedScene:
     @property
     def num_faces(self) -> int:
         return int(self.faces.shape[0])
+
+
+def _resize_texture(tex: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor resize to (size, size, 4) float32 (alpha=1 pad)."""
+    tex = np.asarray(tex, np.float32)
+    if tex.ndim == 2:
+        tex = tex[..., None].repeat(3, -1)
+    if tex.shape[2] == 3:
+        tex = np.concatenate([tex, np.ones_like(tex[..., :1])], -1)
+    h, w = tex.shape[:2]
+    ys = np.minimum((np.arange(size) * h) // size, h - 1)
+    xs = np.minimum((np.arange(size) * w) // size, w - 1)
+    return tex[ys][:, xs]
+
+
+#: all material maps resample to this square atlas page size
+TEXTURE_ATLAS_SIZE = 256
 
 
 class Scene:
@@ -60,10 +81,20 @@ class Scene:
 
     def pack(self) -> PackedScene:
         positions, normals, faces, vert_ids, mats = [], [], [], [], []
-        skin_idx, skin_wgt = [], []
+        skin_idx, skin_wgt, uvs = [], [], []
+        atlas_pages, map_idx, emis_idx = [], [], []
         offset = 0
         bone_offset = 1  # global bone 0 is the identity for unskinned verts
+
+        def page_for(tex):
+            if tex is None:
+                return -1
+            atlas_pages.append(_resize_texture(tex, TEXTURE_ATLAS_SIZE))
+            return len(atlas_pages) - 1
+
         for i, mesh in enumerate(self.meshes):
+            map_idx.append(page_for(mesh.material.map))
+            emis_idx.append(page_for(mesh.material.emissive_map))
             if not mesh.visible:
                 # keep the mesh slot (matrices stay index-aligned) but
                 # contribute no geometry
@@ -77,6 +108,10 @@ class Scene:
             faces.append(mesh.faces + offset)
             vert_ids.append(np.full(nv, i, np.int32))
             mats.append(mesh.material.as_row())
+            uvs.append(
+                mesh.uvs.astype(np.float32) if mesh.uvs is not None
+                else np.zeros((nv, 2), np.float32)
+            )
             if mesh.skin_indices is not None:
                 skin_idx.append(mesh.skin_indices.astype(np.int32) + bone_offset)
                 skin_wgt.append(mesh.skin_weights.astype(np.float32))
@@ -96,6 +131,14 @@ class Scene:
             materials=jnp.asarray(np.stack(mats), jnp.float32),
             skin_indices=jnp.asarray(np.concatenate(skin_idx), jnp.int32),
             skin_weights=jnp.asarray(np.concatenate(skin_wgt), jnp.float32),
+            uvs=jnp.asarray(np.concatenate(uvs), jnp.float32),
+            map_atlas=jnp.asarray(
+                np.stack(atlas_pages) if atlas_pages
+                else np.zeros((0, TEXTURE_ATLAS_SIZE, TEXTURE_ATLAS_SIZE, 4),
+                              np.float32)
+            ),
+            map_index=jnp.asarray(np.asarray(map_idx, np.int32)),
+            emissive_map_index=jnp.asarray(np.asarray(emis_idx, np.int32)),
         )
 
     # --- bone palettes (identity bone 0 + per-mesh palettes) ------------
