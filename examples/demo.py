@@ -36,8 +36,12 @@ def build_scene(name: str):
 
     if name == "showcase":
         scene.sun_intensity = 1.2
-        scene.add(make_plane(24, Material(diffuse=(0.65, 0.65, 0.68, 1.0),
-                                          roughness=0.85)))
+        # checkered albedo map exercises the textured-material path
+        yy, xx = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+        check = (((yy // 16) + (xx // 16)) % 2).astype(np.float32)
+        floor_tex = np.stack([0.55 + 0.25 * check] * 3, -1)
+        scene.add(make_plane(24, Material(diffuse=(1.0, 1.0, 1.0, 1.0),
+                                          roughness=0.85, map=floor_tex)))
         panel = scene.add(make_box((0.2, 2, 2), Material(
             diffuse=(1.0, 0.2, 0.1, 1.0), emissive=(10.0, 1.2, 0.5))))
         panel.set_matrix(translation(-1.5, 1.0, 0))
