@@ -28,7 +28,9 @@ def shade_direct(gbuffer: GBuffer, camera, lighting: dict,
     up = jnp.clip(n[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
     ambient = lighting["ambient"] * (0.5 + 0.5 * up)
 
-    color = albedo * (ndotl[..., None] * lighting["sun_color"] + ambient)
+    # metals have no diffuse lobe; their response comes from specular GI
+    kd = (1.0 - gbuffer.metalness)[..., None]
+    color = albedo * kd * (ndotl[..., None] * lighting["sun_color"] + ambient)
     color = color + gbuffer.emissive
 
     # background: env map along the camera ray, else flat background color
