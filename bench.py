@@ -79,7 +79,7 @@ def build_config(n: int):
     cam = PerspectiveCamera(50, w / h, 0.1, 100)
     cam.set_position(3, 2.5, 4)
     cam.look_at((0, 0.5, 0))
-    composer = EffectComposer(scene, cam, h, w)
+    composer = EffectComposer(scene, cam, w, h)
     if n == 1:
         composer.add_effect(TRAAEffect())
         animate = None

@@ -151,6 +151,12 @@ class EffectComposer:
 
     # ------------------------------------------------------------------
     def add_effect(self, effect) -> "EffectComposer":
+        if any(e.name == effect.name for e in self.effects):
+            raise ValueError(
+                f"effect name {effect.name!r} already in the composer; "
+                "give the instance a unique .name (names key uniforms "
+                "and state)"
+            )
         self.effects.append(effect)
         self._raster_stage = None
         self._state = None

@@ -21,42 +21,16 @@ import jax
 import jax.numpy as jnp
 
 
-# Tables with at most this many texels gather via a one-hot matmul on the
-# MXU instead of a hardware gather: XLA's dynamic-gather lowering costs
-# ~14 ms per megapixel-index op on v5e regardless of table size, while a
-# (P, N) one-hot times (N, C) table runs at MXU speed for small N.
-_ONE_HOT_GATHER_MAX_TEXELS = 2048
-
-
-def _gather_one_hot(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
-    h, w = tex.shape[0], tex.shape[1]
-    n = h * w
-    flat = tex.reshape(n, -1)                      # (N, C)
-    idx = iy * w + ix                              # (...,)
-    shape = idx.shape
-    one_hot = (
-        idx.reshape(-1)[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
-    ).astype(jnp.bfloat16)
-    out = jnp.dot(one_hot, flat.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    # one-hot rows are exact; re-fetch precision by gathering in f32 via a
-    # second matmul would be redundant — bf16 table rounding is the only
-    # loss, so for small *data* tables redo in f32 when cheap:
-    if n <= 256:
-        out = jnp.dot(one_hot.astype(jnp.float32), flat,
-                      preferred_element_type=jnp.float32)
-    if tex.ndim == 2:
-        return out.reshape(shape)
-    return out.reshape(shape + (tex.shape[2],))
-
-
 def _gather2d(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
-    """Clamped integer gather from (H, W[, C])."""
+    """Clamped integer gather from (H, W[, C]).
+
+    Plain XLA gathers run at full speed on this target for every table
+    size measured (a one-hot-matmul variant was tried for small tables
+    and removed: the bf16 MXU path rounds table values).
+    """
     h, w = tex.shape[0], tex.shape[1]
     iy = jnp.clip(iy, 0, h - 1)
     ix = jnp.clip(ix, 0, w - 1)
-    if h * w <= _ONE_HOT_GATHER_MAX_TEXELS:
-        return _gather_one_hot(tex, iy, ix)
     return tex[iy, ix]
 
 
@@ -148,29 +122,32 @@ def sample_catmull_rom_5tap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 
 class MipAtlas:
-    """All mip levels of a power-of-two image flattened into ONE array.
+    """All mip levels of an image flattened into ONE array.
 
     TPU-native replacement for per-level texture objects: per-pixel
     trilinear mip sampling becomes pure index arithmetic + taps into a
     single flat table (the gather pattern XLA handles at full speed),
     instead of an unrolled blend over every level.
 
-    Level l has shape (H>>l, W>>l); its flat offset is
-    ``W*H*(1 - 4^-l)*4/3`` (closed form — no offset table lookups).
+    Per-level (offset, h, w) are static aux data taken from the *actual*
+    chain shapes (floor halving can drift from the pow-2 closed form for
+    non-power-of-two images), selected per pixel with a short where-chain.
     """
 
-    def __init__(self, data: jnp.ndarray, base_h: int, base_w: int, levels: int):
+    def __init__(self, data: jnp.ndarray, shapes: tuple):
         self.data = data          # (N, C) flat texels, level-major
-        self.base_h = base_h
-        self.base_w = base_w
-        self.levels = levels
+        self.shapes = shapes      # ((off, h, w) per level), static
+
+    @property
+    def levels(self) -> int:
+        return len(self.shapes)
 
     def tree_flatten(self):
-        return (self.data,), (self.base_h, self.base_w, self.levels)
+        return (self.data,), (self.shapes,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], aux[0])
 
 
 jax.tree_util.register_pytree_node(
@@ -179,20 +156,31 @@ jax.tree_util.register_pytree_node(
 
 
 def build_mip_atlas(tex: jnp.ndarray) -> MipAtlas:
-    """Build the flat atlas from an (H, W, C) base image (H, W pow2-ish)."""
+    """Build the flat atlas from an (H, W, C) base image."""
     mips = build_mip_chain(tex)
     c = tex.shape[2] if tex.ndim == 3 else 1
     flat = jnp.concatenate([m.reshape(-1, c) for m in mips], axis=0)
-    return MipAtlas(flat, tex.shape[0], tex.shape[1], len(mips))
+    shapes = []
+    off = 0
+    for m in mips:
+        shapes.append((off, m.shape[0], m.shape[1]))
+        off += m.shape[0] * m.shape[1]
+    return MipAtlas(flat, tuple(shapes))
 
 
 def _atlas_level_params(atlas: MipAtlas, l: jnp.ndarray):
-    """(offset, h_l, w_l) for per-pixel float level indices ``l``."""
-    n0 = float(atlas.base_h * atlas.base_w)
-    scale = jnp.exp2(-l)
-    h_l = jnp.maximum(jnp.round(atlas.base_h * scale), 1.0)
-    w_l = jnp.maximum(jnp.round(atlas.base_w * scale), 1.0)
-    offset = jnp.round(n0 * (1.0 - scale * scale) * (4.0 / 3.0))
+    """(offset, h_l, w_l) for per-pixel float level indices ``l``.
+
+    Selected from the static per-level table with a where-chain (one
+    select per level — cheap VPU work, no gathers)."""
+    offset = jnp.zeros_like(l)
+    h_l = jnp.ones_like(l)
+    w_l = jnp.ones_like(l)
+    for k, (off, h, w) in enumerate(atlas.shapes):
+        is_k = l == float(k)
+        offset = jnp.where(is_k, float(off), offset)
+        h_l = jnp.where(is_k, float(h), h_l)
+        w_l = jnp.where(is_k, float(w), w_l)
     return offset, h_l, w_l
 
 

@@ -77,10 +77,15 @@ class HBAOEffect(AOEffect):
 
 
 class GTAOEffect(AOEffect):
-    """Ground-truth AO variant (`GTAOEffect.js` + K9), wiring repaired."""
+    """Ground-truth AO variant (`GTAOEffect.js` + K9), wiring repaired.
+
+    Defaults to the reference's 16 Vogel samples."""
 
     name = "gtao"
     kind = "gtao"
+
+    def __init__(self, spp: int = 16, **kw):
+        super().__init__(spp=spp, **kw)
 
     def _ao(self, ctx):
         ao = gtao(ctx.gbuffer.depth, ctx.unjittered_cam, ctx.frame_index, self.cfg)

@@ -172,7 +172,9 @@ class SSGIEffect(Effect):
                 ray_distance=u["ray_distance"], thickness=u["thickness"],
                 env_blur=u["env_blur"],
             )
-            g_diffuse = _resize_bilinear(g_diffuse, h, w)
+            # nearest for diffuse: bilinear would blend the -1
+            # "no diffuse sample" sentinel into valid radiance
+            g_diffuse = _resize_nearest(g_diffuse, h, w)
             g_specular = _resize_bilinear(g_specular, h, w)
         else:
             g_diffuse, g_specular = ssgi(

@@ -17,7 +17,7 @@ import numpy as np
 from ..core import math3d
 from ..core.brdf import cosine_sample_hemisphere
 from ..core.math3d import screen_to_world, smoothstep, uv_grid
-from ..core.rng import blue_noise_image
+from ..core.rng import blue_noise_image, vogel_disk
 from ..core.sampling import sample_bilinear, texel_fetch
 
 
@@ -133,7 +133,11 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
     ao = jnp.zeros((h, w), jnp.float32)
     total_weight = jnp.zeros((h, w), jnp.float32)
     for i in range(cfg.spp):
-        seed = jnp.asarray(i, jnp.int32) + (frame if cfg.animated_noise else 0)
+        # the reference advances its frame counter BY spp per frame
+        # (`AOPass.js:86-88`) so per-sample seeds never collide across
+        # frames; reproduce that stride here
+        base = frame * cfg.spp if cfg.animated_noise else 0
+        seed = jnp.asarray(i, jnp.int32) + base
         noise = blue_noise_image(h, w, seed)
 
         sample_dir = cosine_sample_hemisphere(world_normal, noise[..., :2])
@@ -167,19 +171,15 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
     return world_normal, ao
 
 
-# 16-point Vogel disk (`gtao.frag:69-75` uses a baked table; we generate
-# the same spiral shape)
-def _vogel16() -> np.ndarray:
-    golden = np.pi * (3.0 - np.sqrt(5.0))
-    i = np.arange(16, dtype=np.float64)
-    r = np.sqrt(i / 16.0)
-    theta = i * golden
-    return np.stack([r * np.cos(theta), r * np.sin(theta)], -1).astype(np.float32)
-
-
 def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
-    """GTAO kernel (K9): 16 Vogel-disk samples, depth-diff^4 + normal-dot
-    occlusion (`gtao.frag:77-125`). Returns ao (H, W)."""
+    """GTAO kernel (K9): Vogel-disk hemisphere samples, depth-diff^4 +
+    normal-dot occlusion (`gtao.frag:77-125`).
+
+    ``cfg.spp`` sets the sample count and ``cfg.distance`` scales the
+    sampling radius (the reference hardcodes 16 samples / radius 0.25,
+    part of its unfinished GTAO; defaults here reproduce that).
+    ``bias``/``thickness``/``distance_power`` are unused by this kernel,
+    as upstream. Returns ao (H, W)."""
     h, w = depth.shape
     uv = uv_grid(h, w)
     normal = depth_world_normals(depth, cam)
@@ -188,14 +188,15 @@ def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
     )
     view_z = jnp.abs(math3d.perspective_depth_to_view_z(depth, cam.near, cam.far))
 
-    vogel = jnp.asarray(_vogel16())
-    radius = 0.25
+    n_samples = cfg.spp if cfg.spp > 0 else 16
+    vogel = jnp.asarray(vogel_disk(n_samples))
+    radius = 0.25 * (cfg.distance / 2.0)
     proj_view = cam.projection_view_matrix
 
     ao = jnp.zeros((h, w), jnp.float32)
     base_index = frame if cfg.animated_noise else 0
-    for i in range(16):
-        noise = blue_noise_image(h, w, jnp.asarray(base_index) * 16 + i)
+    for i in range(n_samples):
+        noise = blue_noise_image(h, w, jnp.asarray(base_index) * n_samples + i)
         a = vogel[i] * 0.5 + 0.5
         sample_dir = cosine_sample_hemisphere(
             normal, jnp.broadcast_to(a, uv.shape)
@@ -215,5 +216,5 @@ def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
         normal_dot = math3d.dot(normal, sample_normal)
         ao = ao + smoothstep(0.0, 1.0, 1.0 - depth_diff) * normal_dot
 
-    ao = ao / 16.0
+    ao = ao / float(n_samples)
     return jnp.where(depth >= 1.0, 1.0, jnp.clip(ao, 0.0, 1.0))

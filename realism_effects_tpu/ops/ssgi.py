@@ -55,8 +55,7 @@ class SSGIConfig:
 
 def _get_view_z(depth, cam):
     """`ssgi_utils.frag:7-13` (perspective)."""
-    near, far = cam.near, cam.far
-    return (near * far) / ((far - near) * depth - far)
+    return math3d.perspective_depth_to_view_z(depth, cam.near, cam.far)
 
 
 def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,

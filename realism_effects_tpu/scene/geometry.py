@@ -22,6 +22,10 @@ class Material:
     properties the reference's G-buffer material carries over
     (`GBufferUtils.js:1-41`, `GBufferMaterial.js:46-96`). UV wrap is
     repeat (three.js RepeatWrapping default).
+
+    Limitation: stochastic-alpha transparency keys off the *material*
+    diffuse alpha only; alpha stored in ``map`` texels tints the G-buffer
+    but does not dither coverage.
     """
 
     diffuse: tuple = (0.8, 0.8, 0.8, 1.0)

@@ -123,6 +123,18 @@ class Scene:
             if mesh.bone_matrices is not None:
                 bone_offset += len(mesh.bone_matrices)
             offset += nv
+        if not positions:  # empty / fully-hidden scene: one degenerate vert
+            positions = [np.zeros((1, 3), np.float32)]
+            normals = [np.array([[0, 1, 0]], np.float32)]
+            faces = [np.zeros((0, 3), np.int32)]
+            vert_ids = [np.zeros(1, np.int32)]
+            uvs = [np.zeros((1, 2), np.float32)]
+            skin_idx = [np.zeros((1, 4), np.int32)]
+            w0 = np.zeros((1, 4), np.float32); w0[:, 0] = 1.0
+            skin_wgt = [w0]
+            if not mats:
+                from .geometry import Material
+                mats = [Material().as_row()]
         return PackedScene(
             positions=jnp.asarray(np.concatenate(positions), jnp.float32),
             normals=jnp.asarray(np.concatenate(normals), jnp.float32),

@@ -197,3 +197,22 @@ class TestRNG:
         assert img0.shape == (32, 48, 4)
         assert (img0 != img1).any()
         assert img0.min() >= 0.0 and img0.max() <= 1.0
+
+
+class TestMipAtlas:
+    def test_matches_chain_for_non_pow2(self):
+        """Atlas trilinear fetch == explicit chain blend, incl. non-pow2."""
+        from realism_effects_tpu.core.sampling import (
+            build_mip_atlas, build_mip_chain, sample_bilinear_mip,
+            sample_mip_atlas,
+        )
+        rng = np.random.default_rng(11)
+        for shape in [(64, 128, 3), (100, 200, 3), (48, 80, 3)]:
+            tex = jnp.asarray(rng.uniform(size=shape), jnp.float32)
+            atlas = build_mip_atlas(tex)
+            mips = build_mip_chain(tex)
+            uv = jnp.asarray(rng.uniform(0.02, 0.98, (32, 32, 2)), jnp.float32)
+            for lod in (0.0, 1.5, 3.0, 4.7):
+                a = np.asarray(sample_mip_atlas(atlas, uv, lod))
+                b = np.asarray(sample_bilinear_mip(mips, uv, lod))
+                np.testing.assert_allclose(a, b, atol=2e-5, err_msg=f"{shape} lod={lod}")
