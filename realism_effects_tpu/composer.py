@@ -423,6 +423,79 @@ class EffectComposer:
         return jax.jit(frame_fn, donate_argnums=(6,))
 
     # ------------------------------------------------------------------
+    def render_external(self, gbuffer, velocity, scene_color):
+        """Run the effect chain on externally produced buffers.
+
+        The ingestion boundary from SURVEY.md §7: instead of the built-in
+        rasterizer, the caller supplies a :class:`GBuffer`, a
+        :class:`VelocityBuffer` and a lit scene color (e.g. fixtures, an
+        external renderer, or a replayed capture). Camera bookkeeping,
+        uniforms and temporal state behave exactly as in :meth:`render`.
+        """
+        if self._packed is None:
+            self._packed = self.scene.pack()
+        if self._lighting is None:
+            self._lighting = self.scene.lighting_params()
+        static_sig = tuple((e.name, e.static_key()) for e in self.effects)
+        if self._raster_stage is None or static_sig != self._static_sig:
+            self._layout = self._build_layout()
+            self._build_stages()
+            self._static_sig = static_sig
+            if self._state is None:
+                self._state = self._init_state()
+
+        self.camera.clear_view_offset()
+        unjit_world = np.asarray(self.camera.matrix_world, np.float64).copy()
+        unjit_proj = np.asarray(self.camera.projection_matrix, np.float64).copy()
+        moved = (
+            self._last_world is None
+            or np.abs(self._last_world - unjit_world).max() > 1e-6
+        )
+        self.camera_not_moved_frames = 0 if moved else self.camera_not_moved_frames + 1
+        prev_world = self._prev_world if self._prev_world is not None else unjit_world
+        prev_proj = self._prev_proj if self._prev_proj is not None else unjit_proj
+        for e in self.effects:
+            e.host_update(self)
+
+        values = {}
+        _pack_camera(values, "cam", self.camera, unjit_world, unjit_proj)
+        _pack_camera(values, "unjit_cam", self.camera, unjit_world, unjit_proj)
+        _pack_camera(values, "prev_cam", self.camera, prev_world, prev_proj)
+        n_mesh = max(len(self.scene.meshes), 1)
+        eye = np.eye(4)[None].repeat(n_mesh, 0)
+        values["model_matrices"] = eye
+        values["prev_model_matrices"] = eye
+        if self.scene.num_bones() > 1:
+            values["bone_matrices"] = self.scene.bone_matrices()
+            values["prev_bone_matrices"] = self.scene.bone_matrices(prev=True)
+        values["keep_data"] = 0.0 if self._reset_pending else 1.0
+        values["camera_moved"] = 1.0 if moved else 0.0
+        values["camera_not_moved_frames"] = float(self.camera_not_moved_frames)
+        values["frame_index"] = float(self.frame % 4096)
+        for e in self.effects:
+            for key, v in e.uniforms().items():
+                values[f"{e.name}.{key}"] = float(v)
+        ubuf = jnp.asarray(self._layout.pack(values))
+
+        env = self.scene.environment
+        last_velocity = self._state["__global__"]["last_velocity"]
+        new_state = {"__global__": {"last_velocity": velocity}}
+        image = scene_color
+        for e, stage in zip(self.effects, self._effect_stages):
+            image, new_state[e.name] = stage(
+                ubuf, gbuffer, velocity, last_velocity, scene_color,
+                image, self._state[e.name], env,
+            )
+        self._state = new_state
+
+        self._prev_world = unjit_world
+        self._prev_proj = unjit_proj
+        self._last_world = unjit_world
+        self.frame += 1
+        self._reset_pending = False
+        return image
+
+    # ------------------------------------------------------------------
     def state(self, effect_name: str):
         """Inspect an effect's state pytree (observability hook)."""
         return self._state[effect_name] if self._state else None
