@@ -123,10 +123,10 @@ class Scene:
             if mesh.bone_matrices is not None:
                 bone_offset += len(mesh.bone_matrices)
             offset += nv
-        if not positions:  # empty / fully-hidden scene: one degenerate vert
+        if not positions:  # empty / fully-hidden scene: one degenerate tri
             positions = [np.zeros((1, 3), np.float32)]
             normals = [np.array([[0, 1, 0]], np.float32)]
-            faces = [np.zeros((0, 3), np.int32)]
+            faces = [np.zeros((1, 3), np.int32)]  # zero-area: never covers
             vert_ids = [np.zeros(1, np.int32)]
             uvs = [np.zeros((1, 2), np.float32)]
             skin_idx = [np.zeros((1, 4), np.int32)]
