@@ -72,3 +72,16 @@ class TestSSGIOptions:
         ))
         img = np.asarray(c.render())
         assert np.isfinite(img).all()
+
+
+class TestDenoiseModes:
+    def test_all_denoise_modes_run(self):
+        """denoiseMode parity: full | full_temporal | denoised | temporal
+        (`Denoiser.js:7`)."""
+        scene, cam = _scene()
+        for mode in ("full", "full_temporal", "denoised", "temporal"):
+            c = EffectComposer(scene, cam, 48, 48)
+            c.add_effect(SSGIEffect(steps=4, refine_steps=1, denoise_mode=mode))
+            for _ in range(2):
+                img = np.asarray(c.render())
+            assert np.isfinite(img).all(), mode
