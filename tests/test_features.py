@@ -85,3 +85,48 @@ class TestDenoiseModes:
             for _ in range(2):
                 img = np.asarray(c.render())
             assert np.isfinite(img).all(), mode
+
+
+class TestDefaultsParity:
+    def test_ssgi_defaults_match_reference(self):
+        """defaults mirror `SSGIOptions.js:26-48` key for key."""
+        e = SSGIEffect()
+        assert e.distance == 10.0          # distance
+        assert e.thickness == 10.0         # thickness
+        assert e.env_blur == 0.5           # envBlur
+        assert e.cfg.importance_sampling   # importanceSampling: true
+        assert e.cfg.steps == 20           # steps
+        assert e.cfg.refine_steps == 5     # refineSteps
+        assert not e.cfg.missed_rays       # missedRays: false
+        assert e.resolution_scale == 1.0   # resolutionScale
+        d = e.denoise_cfg
+        assert d.iterations == 1           # denoiseIterations
+        assert d.radius == 3.0             # radius
+        assert d.phi == 0.5                # phi
+        assert d.luma_phi == 5.0           # lumaPhi
+        assert d.depth_phi == 2.0          # depthPhi
+        assert d.normal_phi == 50.0        # normalPhi
+        assert d.roughness_phi == 50.0     # roughnessPhi
+        assert d.specular_phi == 50.0      # specularPhi
+
+    def test_ao_defaults_match_reference(self):
+        """defaults mirror `AOEffect.js:8-21`."""
+        from realism_effects_tpu import HBAOEffect
+        e = HBAOEffect()
+        assert e.cfg.spp == 8
+        assert e.cfg.distance == 2.0
+        assert e.cfg.distance_power == 1.0
+        assert e.power == 2.0
+        assert e.cfg.bias == 40.0
+        assert e.cfg.thickness == 0.075
+        assert e.color == (0.0, 0.0, 0.0)
+        assert e.denoise_cfg.normal_phi == 3.25  # PoissonDenoisePass default
+
+    def test_traa_defaults_match_reference(self):
+        """overrides from `TRAAEffect.js:21-31`."""
+        from realism_effects_tpu import TRAAEffect
+        e = TRAAEffect()
+        assert e.max_blend == 0.9
+        assert e.neighborhood_clamp_intensity == 1.0
+        assert e.cfg.confidence_power == 4.0
+        assert e.cfg.log_transform
