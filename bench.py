@@ -11,6 +11,11 @@ measured_ms (>1 means faster than target).
   3: Motion blur + TRAA, animated orbit at 1080p
   4: SSGI (steps=20/refine=5) + temporal + denoiser at 1080p
   5: full stack + importance sampling, dynamic scene at 4K
+
+``--breakdown`` prints one JSON line per pass (raster+shade, ssgi, hbao,
+motion_blur, traa) plus the pipelined total — BASELINE.json's
+"ms/frame per pass" metric. Per-pass numbers are measured with a device
+sync after each stage, so their sum slightly exceeds the pipelined total.
 """
 
 from __future__ import annotations
@@ -119,13 +124,13 @@ def run_config(n: int):
     for f in range(WARMUP):
         if animate:
             animate(f)
-        composer.render().block_until_ready()
+        composer.render(dt=1 / 60).block_until_ready()
     times = []
     for f in range(ITERS):
         if animate:
             animate(WARMUP + f)
         t0 = time.perf_counter()
-        composer.render().block_until_ready()
+        composer.render(dt=1 / 60).block_until_ready()
         times.append((time.perf_counter() - t0) * 1000.0)
     ms = float(np.median(times))
     print(json.dumps({
@@ -134,27 +139,69 @@ def run_config(n: int):
     }))
 
 
+def _orbit(cam, f):
+    ang = 0.6 + 0.01 * f
+    cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
+    cam.look_at((0, 0.5, 0))
+
+
+def run_breakdown():
+    """Per-pass ms at 1080p (BASELINE.json's prescribed metric)."""
+    composer, cam = build_composer()
+    for f in range(WARMUP):
+        _orbit(cam, f)
+        composer.render(dt=1 / 60).block_until_ready()
+
+    # pipelined total (stages free-run, single end-of-frame sync)
+    times = []
+    for f in range(ITERS):
+        _orbit(cam, WARMUP + f)
+        t0 = time.perf_counter()
+        composer.render(dt=1 / 60).block_until_ready()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    total = float(np.median(times))
+
+    # per-stage, with a sync after each stage
+    composer.collect_timings = True
+    stage_times: dict[str, list] = {}
+    for f in range(ITERS):
+        _orbit(cam, WARMUP + ITERS + f)
+        composer.render(dt=1 / 60)
+        for k, v in composer.last_timings.items():
+            stage_times.setdefault(k, []).append(v)
+    for k, v in stage_times.items():
+        ms = float(np.median(v))
+        print(json.dumps({
+            "metric": f"pass_ms_1080p.{k}", "value": round(ms, 3),
+            "unit": "ms/frame", "vs_baseline": round(BASELINE_MS / total, 3),
+        }))
+    print(json.dumps({
+        "metric": "frame_ms_1080p_full_stack_ssgi_hbao_traa_mb",
+        "value": round(total, 3), "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / total, 3),
+    }))
+
+
 def main():
     import sys
     if "--config" in sys.argv:
         run_config(int(sys.argv[sys.argv.index("--config") + 1]))
         return
+    if "--breakdown" in sys.argv:
+        run_breakdown()
+        return
     composer, cam = build_composer()
 
     # warmup / compile (camera orbits so velocity paths stay live)
     for f in range(WARMUP):
-        ang = 0.6 + 0.01 * f
-        cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
-        cam.look_at((0, 0.5, 0))
-        composer.render().block_until_ready()
+        _orbit(cam, f)
+        composer.render(dt=1 / 60).block_until_ready()
 
     times = []
     for f in range(ITERS):
-        ang = 0.65 + 0.01 * f
-        cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
-        cam.look_at((0, 0.5, 0))
+        _orbit(cam, 5 + WARMUP + f)
         t0 = time.perf_counter()
-        composer.render().block_until_ready()
+        composer.render(dt=1 / 60).block_until_ready()
         times.append((time.perf_counter() - t0) * 1000.0)
 
     ms = float(np.median(times))

@@ -31,6 +31,8 @@ Host responsibilities per frame (non-traced): camera jitter bookkeeping
 
 from __future__ import annotations
 
+import time
+
 import chex
 import jax
 import jax.numpy as jnp
@@ -148,6 +150,14 @@ class EffectComposer:
         self._prev_proj = None
         self._last_world = None
         self._reset_pending = True
+        # measured per-frame dt (`MotionBlurEffect.js:87-89`): wall clock
+        # between renders, clamped to >= 1 ms, overridable via render(dt=)
+        self.delta_time = 1.0 / 60.0
+        self._last_frame_walltime = None
+        #: set True to populate :attr:`last_timings` (per-stage ms) each
+        #: frame; adds one device sync per stage, so leave off in production
+        self.collect_timings = False
+        self.last_timings: dict[str, float] = {}
 
     # ------------------------------------------------------------------
     def add_effect(self, effect) -> "EffectComposer":
@@ -189,6 +199,11 @@ class EffectComposer:
             nb = self.scene.num_bones()
             layout.add("bone_matrices", (nb, 4, 4))
             layout.add("prev_bone_matrices", (nb, 4, 4))
+        t_max = self.scene.max_morph_targets()
+        if t_max > 0:
+            layout.add("morph_weights", (n_mesh, t_max))
+            layout.add("prev_morph_weights", (n_mesh, t_max))
+        layout.add("gi_mask", (n_mesh,))
         layout.add("keep_data")
         layout.add("camera_moved")
         layout.add("camera_not_moved_frames")
@@ -205,6 +220,7 @@ class EffectComposer:
                 "keep_data": layout.get(buf, "keep_data"),
                 "camera_moved": layout.get(buf, "camera_moved") > 0.5,
                 "camera_not_moved_frames": layout.get(buf, "camera_not_moved_frames"),
+                "gi_mask_meshes": layout.get(buf, "gi_mask"),
             }
         }
         for e in self.effects:
@@ -223,8 +239,10 @@ class EffectComposer:
         layout = self._layout
 
         has_bones = self.scene.num_bones() > 1
+        has_morphs = self.scene.max_morph_targets() > 0
         has_alpha = any(
-            m.material.diffuse[3] < 1.0 for m in self.scene.meshes
+            m.material.diffuse[3] < 1.0 or m.material.alpha_map is not None
+            for m in self.scene.meshes
         )
 
         def raster_stage(packed, ubuf, env, lighting):
@@ -237,26 +255,35 @@ class EffectComposer:
             prev_bones = (
                 layout.get(ubuf, "prev_bone_matrices") if has_bones else None
             )
+            morph_w = (
+                layout.get(ubuf, "morph_weights") if has_morphs else None
+            )
+            prev_morph_w = (
+                layout.get(ubuf, "prev_morph_weights") if has_morphs else None
+            )
+            cnmf = layout.get(ubuf, "camera_not_moved_frames")
             if has_alpha:
                 # dither animated by the still-frame counter so TRAA/TAA
                 # converge transparency (`GBufferPass.js:59,78-82`)
                 from .core.rng import blue_noise_image
                 seed = (
-                    layout.get(ubuf, "camera_not_moved_frames")
-                    + layout.get(ubuf, "frame_index")
+                    cnmf + layout.get(ubuf, "frame_index")
                 ).astype(jnp.int32)
                 dither = blue_noise_image(h, w, seed)[..., 0]
             else:
                 dither = None
             gbuffer = rasterize_gbuffer(
                 packed, model_mats, cam.projection_view_matrix, h, w,
-                bones=bones, dither=dither,
+                bones=bones, dither=dither, cnmf=cnmf,
+                morph_weights=morph_w,
             )
             velocity = rasterize_velocity(
                 packed, model_mats, prev_model_mats,
                 unjit_cam.projection_view_matrix,
                 prev_cam.projection_view_matrix, h, w,
                 bones=bones, prev_bones=prev_bones, dither=dither,
+                cnmf=cnmf, morph_weights=morph_w,
+                prev_morph_weights=prev_morph_w,
             )
             color = shade_direct(gbuffer, cam, lighting, env)
             return gbuffer, velocity, color
@@ -284,8 +311,35 @@ class EffectComposer:
         self._effect_stages = [make_stage(e) for e in self.effects]
 
     # ------------------------------------------------------------------
-    def render(self):
-        """Render one frame; returns the (H, W, 3) image (device array)."""
+    def render(self, dt: float | None = None):
+        """Render one frame; returns the (H, W, 3) image (device array).
+
+        ``dt``: seconds since the previous frame, used by frame-rate-
+        dependent effects (motion blur). Defaults to the measured wall
+        clock between ``render`` calls, clamped to >= 1 ms — the
+        reference's ``max(1/1000, deltaTime)``
+        (`MotionBlurEffect.js:87-89`).
+        """
+        return self._render_frame(external=None, dt=dt)
+
+    def render_external(self, gbuffer, velocity, scene_color,
+                        dt: float | None = None):
+        """Run the effect chain on externally produced buffers.
+
+        The ingestion boundary from SURVEY.md §7: instead of the built-in
+        rasterizer, the caller supplies a :class:`GBuffer`, a
+        :class:`VelocityBuffer` and a lit scene color (e.g. fixtures, an
+        external renderer, or a replayed capture). Camera bookkeeping,
+        uniforms and temporal state behave exactly as in :meth:`render`
+        (both run through the same internal frame driver).
+        """
+        return self._render_frame(
+            external=(gbuffer, velocity, scene_color), dt=dt
+        )
+
+    def _render_frame(self, external, dt):
+        """Single frame driver shared by :meth:`render` (built-in raster)
+        and :meth:`render_external` (ingested buffers)."""
         if self._packed is None:
             self._packed = self.scene.pack()
         if self._lighting is None:
@@ -299,6 +353,16 @@ class EffectComposer:
             if self._state is None:
                 self._state = self._init_state()
 
+        # --- measured frame dt (host clock) ------------------------------
+        now = time.perf_counter()
+        if dt is None:
+            dt = (
+                now - self._last_frame_walltime
+                if self._last_frame_walltime is not None else 1.0 / 60.0
+            )
+        self._last_frame_walltime = now
+        self.delta_time = max(1.0 / 1000.0, float(dt))
+
         # --- host-side camera bookkeeping (numpy only, no device I/O) ---
         self.camera.clear_view_offset()
         unjit_world = np.asarray(self.camera.matrix_world, np.float64).copy()
@@ -309,10 +373,10 @@ class EffectComposer:
         )
         self.camera_not_moved_frames = 0 if moved else self.camera_not_moved_frames + 1
 
-        needs_jitter = any(e.needs_jitter for e in self.effects)
-        if needs_jitter:
+        jit_proj = unjit_proj
+        if external is None and any(e.needs_jitter for e in self.effects):
             self.camera.jitter(self.width, self.height, self.frame)
-        jit_proj = np.asarray(self.camera.projection_matrix, np.float64).copy()
+            jit_proj = np.asarray(self.camera.projection_matrix, np.float64).copy()
 
         prev_world = self._prev_world if self._prev_world is not None else unjit_world
         prev_proj = self._prev_proj if self._prev_proj is not None else unjit_proj
@@ -326,17 +390,27 @@ class EffectComposer:
         _pack_camera(values, "unjit_cam", self.camera, unjit_world, unjit_proj)
         _pack_camera(values, "prev_cam", self.camera, prev_world, prev_proj)
         n_mesh = max(len(self.scene.meshes), 1)
-        mm = np.stack([m.matrix_world for m in self.scene.meshes]) \
-            if self.scene.meshes else np.eye(4)[None]
-        pmm = np.stack([
-            m.prev_matrix_world if m.prev_matrix_world is not None else m.matrix_world
-            for m in self.scene.meshes
-        ]) if self.scene.meshes else np.eye(4)[None]
+        if external is None and self.scene.meshes:
+            mm = np.stack([m.matrix_world for m in self.scene.meshes])
+            pmm = np.stack([
+                m.prev_matrix_world if m.prev_matrix_world is not None
+                else m.matrix_world
+                for m in self.scene.meshes
+            ])
+        else:
+            # ingested buffers carry their own transforms; empty scenes
+            # rasterize nothing
+            mm = pmm = np.eye(4)[None].repeat(n_mesh, 0)
         values["model_matrices"] = mm
         values["prev_model_matrices"] = pmm
         if self.scene.num_bones() > 1:
             values["bone_matrices"] = self.scene.bone_matrices()
             values["prev_bone_matrices"] = self.scene.bone_matrices(prev=True)
+        if self.scene.max_morph_targets() > 0:
+            values["morph_weights"] = self.scene.morph_weight_matrix()
+            values["prev_morph_weights"] = self.scene.morph_weight_matrix(
+                prev=True)
+        values["gi_mask"] = self.scene.gi_mask()
         values["keep_data"] = 0.0 if self._reset_pending else 1.0
         values["camera_moved"] = 1.0 if moved else 0.0
         values["camera_not_moved_frames"] = float(self.camera_not_moved_frames)
@@ -347,10 +421,23 @@ class EffectComposer:
         ubuf = jnp.asarray(self._layout.pack(values))
 
         # --- device stages ----------------------------------------------
+        timing = self.collect_timings
+        if timing:
+            self.last_timings = {}
+            ubuf.block_until_ready()
+            t_last = time.perf_counter()
         env = self.scene.environment
-        gbuffer, velocity, color = self._raster_stage(
-            self._packed, ubuf, env, self._lighting
-        )
+        if external is None:
+            gbuffer, velocity, color = self._raster_stage(
+                self._packed, ubuf, env, self._lighting
+            )
+            if timing:
+                jax.block_until_ready(color)
+                t_now = time.perf_counter()
+                self.last_timings["raster_shade"] = (t_now - t_last) * 1e3
+                t_last = t_now
+        else:
+            gbuffer, velocity, color = external
         last_velocity = self._state["__global__"]["last_velocity"]
         new_state = {"__global__": {"last_velocity": velocity}}
         image = color
@@ -359,13 +446,19 @@ class EffectComposer:
                 ubuf, gbuffer, velocity, last_velocity, color,
                 image, self._state[e.name], env,
             )
+            if timing:
+                jax.block_until_ready(image)
+                t_now = time.perf_counter()
+                self.last_timings[e.name] = (t_now - t_last) * 1e3
+                t_last = t_now
         self._state = new_state
 
         # --- end-of-frame snapshots ------------------------------------
         self._prev_world = unjit_world
         self._prev_proj = unjit_proj
         self._last_world = unjit_world
-        self.scene.commit_frame()
+        if external is None:
+            self.scene.commit_frame()
         self.frame += 1
         self._reset_pending = False
         return image
@@ -379,27 +472,42 @@ class EffectComposer:
                 "keep_data": jnp.float32(0.0 if self._reset_pending else 1.0),
                 "camera_moved": jnp.asarray(moved),
                 "camera_not_moved_frames": jnp.float32(self.camera_not_moved_frames),
+                "gi_mask_meshes": jnp.asarray(self.scene.gi_mask()),
             }
         }
+        if self.scene.max_morph_targets() > 0:
+            params["__global__"]["morph_weights"] = jnp.asarray(
+                self.scene.morph_weight_matrix())
+            params["__global__"]["prev_morph_weights"] = jnp.asarray(
+                self.scene.morph_weight_matrix(prev=True))
         for e in self.effects:
             params[e.name] = {k: jnp.asarray(v) for k, v in e.uniforms().items()}
         return params
 
-    def _build_frame_fn(self):
+    def _build_frame_fn(self, mesh=None):
         """Monolithic single-jit frame for the driver's compile check and
-        the multi-chip dry run (`render()` uses the staged path)."""
+        the multi-chip dry run (`render()` uses the staged path).
+
+        With ``mesh``, the frame is jitted via
+        :func:`parallel.sharding.shard_frame_fn` so image outputs are
+        row-sharded over the device mesh.
+        """
         effects = tuple(self.effects)
         h, w = self.height, self.width
 
         def frame_fn(packed, model_mats, prev_model_mats, cam, unjit_cam,
                      prev_cam, state, params, frame_index, env, lighting):
+            g = params["__global__"]
             gbuffer = rasterize_gbuffer(
-                packed, model_mats, cam.projection_view_matrix, h, w
+                packed, model_mats, cam.projection_view_matrix, h, w,
+                morph_weights=g.get("morph_weights"),
             )
             velocity = rasterize_velocity(
                 packed, model_mats, prev_model_mats,
                 unjit_cam.projection_view_matrix,
                 prev_cam.projection_view_matrix, h, w,
+                morph_weights=g.get("morph_weights"),
+                prev_morph_weights=g.get("prev_morph_weights"),
             )
             color = shade_direct(gbuffer, cam, lighting, env)
             ctx = FrameContext(
@@ -420,80 +528,10 @@ class EffectComposer:
                 new_state[e.name] = st
             return color, new_state
 
+        if mesh is not None:
+            from .parallel.sharding import shard_frame_fn
+            return shard_frame_fn(frame_fn, mesh, donate_argnums=(6,))
         return jax.jit(frame_fn, donate_argnums=(6,))
-
-    # ------------------------------------------------------------------
-    def render_external(self, gbuffer, velocity, scene_color):
-        """Run the effect chain on externally produced buffers.
-
-        The ingestion boundary from SURVEY.md §7: instead of the built-in
-        rasterizer, the caller supplies a :class:`GBuffer`, a
-        :class:`VelocityBuffer` and a lit scene color (e.g. fixtures, an
-        external renderer, or a replayed capture). Camera bookkeeping,
-        uniforms and temporal state behave exactly as in :meth:`render`.
-        """
-        if self._packed is None:
-            self._packed = self.scene.pack()
-        if self._lighting is None:
-            self._lighting = self.scene.lighting_params()
-        static_sig = tuple((e.name, e.static_key()) for e in self.effects)
-        if self._raster_stage is None or static_sig != self._static_sig:
-            self._layout = self._build_layout()
-            self._build_stages()
-            self._static_sig = static_sig
-            if self._state is None:
-                self._state = self._init_state()
-
-        self.camera.clear_view_offset()
-        unjit_world = np.asarray(self.camera.matrix_world, np.float64).copy()
-        unjit_proj = np.asarray(self.camera.projection_matrix, np.float64).copy()
-        moved = (
-            self._last_world is None
-            or np.abs(self._last_world - unjit_world).max() > 1e-6
-        )
-        self.camera_not_moved_frames = 0 if moved else self.camera_not_moved_frames + 1
-        prev_world = self._prev_world if self._prev_world is not None else unjit_world
-        prev_proj = self._prev_proj if self._prev_proj is not None else unjit_proj
-        for e in self.effects:
-            e.host_update(self)
-
-        values = {}
-        _pack_camera(values, "cam", self.camera, unjit_world, unjit_proj)
-        _pack_camera(values, "unjit_cam", self.camera, unjit_world, unjit_proj)
-        _pack_camera(values, "prev_cam", self.camera, prev_world, prev_proj)
-        n_mesh = max(len(self.scene.meshes), 1)
-        eye = np.eye(4)[None].repeat(n_mesh, 0)
-        values["model_matrices"] = eye
-        values["prev_model_matrices"] = eye
-        if self.scene.num_bones() > 1:
-            values["bone_matrices"] = self.scene.bone_matrices()
-            values["prev_bone_matrices"] = self.scene.bone_matrices(prev=True)
-        values["keep_data"] = 0.0 if self._reset_pending else 1.0
-        values["camera_moved"] = 1.0 if moved else 0.0
-        values["camera_not_moved_frames"] = float(self.camera_not_moved_frames)
-        values["frame_index"] = float(self.frame % 4096)
-        for e in self.effects:
-            for key, v in e.uniforms().items():
-                values[f"{e.name}.{key}"] = float(v)
-        ubuf = jnp.asarray(self._layout.pack(values))
-
-        env = self.scene.environment
-        last_velocity = self._state["__global__"]["last_velocity"]
-        new_state = {"__global__": {"last_velocity": velocity}}
-        image = scene_color
-        for e, stage in zip(self.effects, self._effect_stages):
-            image, new_state[e.name] = stage(
-                ubuf, gbuffer, velocity, last_velocity, scene_color,
-                image, self._state[e.name], env,
-            )
-        self._state = new_state
-
-        self._prev_world = unjit_world
-        self._prev_proj = unjit_proj
-        self._last_world = unjit_world
-        self.frame += 1
-        self._reset_pending = False
-        return image
 
     # ------------------------------------------------------------------
     def state(self, effect_name: str):

@@ -20,15 +20,22 @@ class MotionBlurEffect(Effect):
         self.intensity = intensity
         self.jitter = jitter
         self.samples = int(samples)
+        self.delta_time = 1.0 / 60.0
 
     def static_key(self):
         return (self.samples,)
+
+    def host_update(self, composer):
+        # measured per-frame dt, already clamped to >= 1 ms by the
+        # composer — the reference's `max(1/1000, deltaTime)`
+        # (`MotionBlurEffect.js:87-89`)
+        self.delta_time = composer.delta_time
 
     def uniforms(self):
         return {
             "intensity": float(self.intensity),
             "jitter": float(self.jitter),
-            "delta_time": 1.0 / 60.0,
+            "delta_time": float(self.delta_time),
         }
 
     def apply(self, ctx, color, state):

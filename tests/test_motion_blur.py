@@ -59,17 +59,49 @@ class TestMotionBlurEffect:
         cam.look_at((0, 0.5, 0))
         composer = EffectComposer(scene, cam, 96, 96)
         composer.add_effect(MotionBlurEffect())
-        composer.render()
+        composer.render(dt=1 / 60)
         box.set_matrix(translation(0.6, 0.5, 0))
-        img = np.asarray(composer.render())
+        img = np.asarray(composer.render(dt=1 / 60))
         assert np.isfinite(img).all()
 
         # reference: same pose rendered with zero velocity (no motion)
         sharp = EffectComposer(scene, cam, 96, 96)
         sharp.add_effect(MotionBlurEffect())
-        sharp.render()  # commits current transforms; next frame is static
-        simg = np.asarray(sharp.render())
+        sharp.render(dt=1 / 60)  # commits transforms; next frame is static
+        simg = np.asarray(sharp.render(dt=1 / 60))
 
         # the moving box must smear: many pixels differ from the sharp render
         diff = np.abs(img - simg).max(-1)
         assert (diff > 0.05).sum() > 50
+
+    def test_composer_routes_measured_dt(self):
+        """The composer feeds real per-frame dt into the blur uniform
+        (`MotionBlurEffect.js:87-89`): a slower frame (larger dt) lowers
+        frameSpeed, shortening the smear for the same object motion."""
+
+        def render_pair(dt):
+            scene = Scene()
+            scene.add(make_plane(20, Material(diffuse=(0.6, 0.6, 0.6, 1.0))))
+            box = scene.add(
+                make_box((1, 1, 1), Material(diffuse=(1.0, 0.2, 0.1, 1.0))))
+            box.set_matrix(translation(0, 0.5, 0))
+            cam = PerspectiveCamera(50, 1, 0.1, 100)
+            cam.set_position(0, 2.0, 5)
+            cam.look_at((0, 0.5, 0))
+            composer = EffectComposer(scene, cam, 96, 96)
+            eff = MotionBlurEffect()
+            composer.add_effect(eff)
+            composer.render(dt=dt)
+            box.set_matrix(translation(0.6, 0.5, 0))
+            img = np.asarray(composer.render(dt=dt))
+            assert eff.delta_time == max(1e-3, dt)
+            return img
+
+        img_fast = render_pair(1 / 240)   # high fps -> long smear
+        img_slow = render_pair(1 / 15)    # low fps -> short smear
+        assert not np.allclose(img_fast, img_slow)
+
+        # dt below the reference clamp behaves exactly like dt = 1 ms
+        img_clamped = render_pair(1e-5)
+        img_1ms = render_pair(1e-3)
+        np.testing.assert_allclose(img_clamped, img_1ms, atol=1e-6)
