@@ -33,6 +33,10 @@ class GBuffer:
     metalness: jnp.ndarray   # (H, W)
     emissive: jnp.ndarray    # (H, W, 3)
     depth: jnp.ndarray       # (H, W) depth-buffer value in [0, 1]
+    #: winning mesh index per pixel (-1 = background); feeds per-mesh
+    #: effect masks (the Selection-layers analog, `SSGIPass.js:71-79`).
+    #: Optional: externally ingested G-buffers may leave it None.
+    mesh_id: jnp.ndarray | None = None  # (H, W) int32
 
     @property
     def height(self) -> int:

@@ -228,6 +228,19 @@ class SSGIEffect(Effect):
             fog_color=self.fog_color, fog_density=self.fog_density,
         )
 
+        # 6. selection mask: pixels of gi_exclude meshes keep plain scene
+        #    color — the per-pixel analog of the reference restricting the
+        #    GI G-buffer to selected camera layers (`SSGIPass.js:71-79`).
+        #    (Approximation noted in PARITY.md: excluded geometry still
+        #    occludes rays and appears in reflections, unlike layers.)
+        mesh_id = getattr(ctx.gbuffer, "mesh_id", None)
+        gi_w = g.get("gi_mask_meshes")
+        if mesh_id is not None and gi_w is not None:
+            mask = jnp.where(
+                mesh_id >= 0, gi_w[jnp.maximum(mesh_id, 0)], 1.0
+            )
+            out = jnp.where(mask[..., None] > 0.5, out, color)
+
         new_state = {"history": denoised, "composed": composed}
 
         if self.output_texture is not None:

@@ -23,9 +23,12 @@ class Material:
     (`GBufferUtils.js:1-41`, `GBufferMaterial.js:46-96`). UV wrap is
     repeat (three.js RepeatWrapping default).
 
-    Limitation: stochastic-alpha transparency keys off the *material*
-    diffuse alpha only; alpha stored in ``map`` texels tints the G-buffer
-    but does not dither coverage.
+    ``alpha_map``: optional (S, S[, C]) texture whose *green* channel
+    multiplies the material alpha before the stochastic coverage test,
+    exactly like the reference's ``USE_ALPHAMAP`` path
+    (`GBufferMaterial.js:57-61`); the first-still-frame 0.5 hard cut and
+    the still-frame softening ramp (`GBufferMaterial.js:63-79`) are
+    applied in the rasterizer.
     """
 
     diffuse: tuple = (0.8, 0.8, 0.8, 1.0)
@@ -34,6 +37,7 @@ class Material:
     emissive: tuple = (0.0, 0.0, 0.0)
     map: "np.ndarray | None" = None
     emissive_map: "np.ndarray | None" = None
+    alpha_map: "np.ndarray | None" = None
 
     def as_row(self) -> np.ndarray:
         return np.array(
@@ -67,6 +71,30 @@ class Mesh:
     skin_weights: np.ndarray | None = None   # (V, 4) float32, rows sum to 1
     bone_matrices: np.ndarray | None = None  # (B, 4, 4)
     prev_bone_matrices: np.ndarray | None = None
+    #: optional morph targets: position/normal deltas blended by
+    #: per-frame weights, applied before skinning — K16/K17's
+    #: morphtarget/morphnormal vertex path including *previous-frame*
+    #: weights for velocity (`VelocityDepthNormalMaterial.js:110-132`)
+    morph_positions: np.ndarray | None = None  # (T, V, 3) position deltas
+    morph_normals: np.ndarray | None = None    # (T, V, 3) normal deltas
+    morph_weights: np.ndarray | None = None    # (T,) float32
+    prev_morph_weights: np.ndarray | None = None
+    #: exclude this mesh from SSGI tracing output — the analog of the
+    #: reference's Selection camera-layers mechanism (`SSGIPass.js:71-79`,
+    #: `SSGIEffect.selection`): excluded pixels return plain scene color
+    gi_exclude: bool = False
+
+    def set_morph_weights(self, weights):
+        """Update morph-target weights; snapshots the previous weights for
+        velocity (like the prev-frame morph influences consumed by
+        `VelocityDepthNormalMaterial.js:110-132`)."""
+        weights = np.asarray(weights, np.float32)
+        if self.morph_weights is None:
+            self.prev_morph_weights = weights.copy()
+        else:
+            self.prev_morph_weights = np.asarray(
+                self.morph_weights, np.float32).copy()
+        self.morph_weights = weights
 
     def set_bones(self, bones: np.ndarray):
         """Update the bone palette; snapshots the previous palette for
@@ -93,6 +121,9 @@ class Mesh:
         self.prev_matrix_world = np.asarray(self.matrix_world, np.float64).copy()
         if self.bone_matrices is not None:
             self.prev_bone_matrices = np.asarray(self.bone_matrices).copy()
+        if self.morph_weights is not None:
+            self.prev_morph_weights = np.asarray(
+                self.morph_weights, np.float32).copy()
 
 
 def translation(x, y, z) -> np.ndarray:

@@ -30,11 +30,25 @@ _CHUNK = 16  # triangles per scan step; (H, W, CHUNK) temps must fit HBM
 
 
 def _world_transform(packed: PackedScene, model_mats: jnp.ndarray,
-                     bones: jnp.ndarray | None = None):
-    """Object -> world positions/normals: optional linear-blend skinning
-    (K17 semantics incl. bones, `VelocityDepthNormalMaterial.js:8-66`)
-    followed by the per-mesh model matrix."""
+                     bones: jnp.ndarray | None = None,
+                     morph_weights: jnp.ndarray | None = None):
+    """Object -> world positions/normals: optional morph-target blend
+    (three.js order: morphs first, `VelocityDepthNormalMaterial.js:110-132`),
+    optional linear-blend skinning (K17 semantics incl. bones,
+    `VelocityDepthNormalMaterial.js:8-66`), then the per-mesh model matrix.
+
+    ``morph_weights``: (M, T) per-mesh weights matching the packed
+    (V, T, 3) delta tables; the velocity pass calls this twice with
+    current and previous-frame weights."""
     positions, normals = packed.positions, packed.normals
+    if morph_weights is not None and packed.morph_pos_deltas.shape[1] > 0:
+        wv = morph_weights[packed.vert_mesh_id]       # (V, T)
+        positions = positions + jnp.sum(
+            wv[:, :, None] * packed.morph_pos_deltas, axis=1
+        )
+        normals = normals + jnp.sum(
+            wv[:, :, None] * packed.morph_nrm_deltas, axis=1
+        )
     if bones is not None:
         bm = bones[packed.skin_indices]               # (V, 4, 4, 4)
         w = packed.skin_weights[:, :, None, None]
@@ -91,14 +105,24 @@ def _edge_coeffs(h0, h1, h2):
 
 def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
                 tri_alpha: jnp.ndarray | None = None,
-                dither: jnp.ndarray | None = None):
+                dither: jnp.ndarray | None = None,
+                cnmf=None,
+                alpha_tex: tuple | None = None):
     """Z-buffer visibility: winning triangle id per pixel (-1 = none).
 
-    ``tri_alpha``/``dither`` implement stochastic-alpha transparency: a
-    triangle with alpha < 1 covers a pixel only where the per-pixel
-    dither value is below alpha (the reference's dithered alpha discard,
-    `GBufferMaterial.js:57-79`; TRAA/TAA accumulation converges it).
+    ``tri_alpha``/``dither`` implement stochastic-alpha transparency with
+    the reference's convergence law (`GBufferMaterial.js:57-79`):
 
+    - per-pixel alpha ``a`` = material alpha, optionally multiplied by the
+      *green* channel of an alpha map (``alpha_tex``),
+    - on the first still frame (``cnmf`` == 0, i.e. the camera just
+      moved) a hard 0.5 cut, no dithering,
+    - on later still frames, dither against ``mix(a, step(0.5, a),
+      1 / (cnmf*0.1 + 1))`` — near-binary right after movement, relaxing
+      toward the true alpha as TRAA/TAA accumulates samples.
+
+    ``alpha_tex``: optional (pages (F,) int32, uvs (V, 2), atlas
+    (N, S, S, 4)) for per-texel map alpha (nearest-sampled).
     Returns (tri_id (H, W) int32, depth01 (H, W) in [0, 1], 1 = background).
     """
     num_faces = faces.shape[0]
@@ -127,49 +151,80 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
         alpha_p = jnp.concatenate(
             [tri_alpha, jnp.ones((pad,), tri_alpha.dtype)]
         )
+    if alpha_tex is not None:
+        pages, uvs, atlas = alpha_tex
+        pages_p = jnp.concatenate(
+            [pages, jnp.full((pad,), -1, jnp.int32)]
+        )
+        tri_uv = uvs[faces_p]                          # (F', 3, 2)
 
     n_chunks = faces_p.shape[0] // _CHUNK
     chunk = lambda a: a.reshape((n_chunks, _CHUNK) + a.shape[1:])
-    scan_in = [chunk(coeffs), chunk(tri_z), chunk(tri_w), chunk(sgn),
-               chunk(valid_tri), chunk(tri_ids)]
+    scan_in = {
+        "coef": chunk(coeffs), "z": chunk(tri_z), "w": chunk(tri_w),
+        "sgn": chunk(sgn), "valid": chunk(valid_tri), "ids": chunk(tri_ids),
+    }
     if tri_alpha is not None:
-        scan_in.append(chunk(alpha_p))
-    scan_in = tuple(scan_in)
+        scan_in["alpha"] = chunk(alpha_p)
+    if alpha_tex is not None:
+        scan_in["page"] = chunk(pages_p)
+        scan_in["uv"] = chunk(tri_uv)
 
     pxg = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :, None]   # (1, W, 1)
     pyg = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None, None]  # (H, 1, 1)
 
     def step(carry, inp):
         zbuf, ids = carry
-        if tri_alpha is not None:
-            ccoef, cz, cw, csgn, cvalid, cids, calpha = inp
-        else:
-            ccoef, cz, cw, csgn, cvalid, cids = inp
+        ccoef = inp["coef"]
         # e: (H, W, K) per edge
         e0 = ccoef[:, 0, 0] * pxg + ccoef[:, 0, 1] * pyg + ccoef[:, 0, 2]
         e1 = ccoef[:, 1, 0] * pxg + ccoef[:, 1, 1] * pyg + ccoef[:, 1, 2]
         e2 = ccoef[:, 2, 0] * pxg + ccoef[:, 2, 1] * pyg + ccoef[:, 2, 2]
-        s = csgn[None, None, :]
+        s = inp["sgn"][None, None, :]
         covered = (e0 * s >= 0.0) & (e1 * s >= 0.0) & (e2 * s >= 0.0)
-        covered &= cvalid[None, None, :]
+        covered &= inp["valid"][None, None, :]
 
+        cw, cz = inp["w"], inp["z"]
         zw = e0 * cw[:, 0] + e1 * cw[:, 1] + e2 * cw[:, 2]   # sum e_i * w_i
         zc = e0 * cz[:, 0] + e1 * cz[:, 1] + e2 * cz[:, 2]   # sum e_i * z_i
         se = e0 + e1 + e2
-        w_pix = zw / jnp.where(jnp.abs(se) > 1e-20, se, 1e-20)
+        se_safe = jnp.where(jnp.abs(se) > 1e-20, se, 1e-20)
+        w_pix = zw / se_safe
         covered &= w_pix > 1e-6                             # in front of eye
         z_ndc = zc / jnp.where(jnp.abs(zw) > 1e-20, zw, 1e-20)
         covered &= (z_ndc >= -1.0) & (z_ndc <= 1.0)
         if tri_alpha is not None:
-            passes = (calpha >= 0.9999)[None, None, :] | (
-                dither[..., None] < calpha[None, None, :]
+            a = jnp.broadcast_to(
+                inp["alpha"][None, None, :], covered.shape
             )
-            covered &= passes
+            if alpha_tex is not None:
+                # perspective-correct uv (lambda_i = e_i / se), nearest
+                # alpha-map texel, *green* channel (`GBufferMaterial.js:60`)
+                cuv = inp["uv"]                              # (K, 3, 2)
+                u = (e0 * cuv[:, 0, 0] + e1 * cuv[:, 1, 0]
+                     + e2 * cuv[:, 2, 0]) / se_safe
+                v = (e0 * cuv[:, 0, 1] + e1 * cuv[:, 1, 1]
+                     + e2 * cuv[:, 2, 1]) / se_safe
+                size = atlas.shape[1]
+                iu = (jnp.mod(u, 1.0) * size).astype(jnp.int32) % size
+                iv = (jnp.mod(v, 1.0) * size).astype(jnp.int32) % size
+                page = inp["page"]
+                tex_a = atlas[jnp.maximum(page, 0), iv, iu, 1]
+                a = jnp.where(page[None, None, :] >= 0, a * tex_a, a)
+            opaque = a >= 0.9999
+            # first still frame: hard cut; later: softening-ramp dither
+            # (`GBufferMaterial.js:63-79`)
+            a_step = (a > 0.5).astype(jnp.float32)
+            ramp = 1.0 / (cnmf * 0.1 + 1.0)
+            a_soft = a + (a_step - a) * ramp
+            hard_pass = a >= 0.5
+            soft_pass = opaque | (dither[..., None] < a_soft)
+            covered &= jnp.where(cnmf < 0.5, hard_pass, soft_pass)
 
         z = jnp.where(covered, z_ndc, jnp.inf)
         k_best = jnp.argmin(z, axis=-1)                     # (H, W)
         z_best = jnp.min(z, axis=-1)
-        id_best = cids[k_best]
+        id_best = inp["ids"][k_best]
 
         better = z_best < zbuf
         zbuf = jnp.where(better, z_best, zbuf)
@@ -250,21 +305,36 @@ def _sample_atlas(atlas: jnp.ndarray, page: jnp.ndarray, uv: jnp.ndarray):
     return top + (bot - top) * fy
 
 
+def _alpha_inputs(packed: PackedScene, dither):
+    """(tri_alpha, alpha_tex) for stochastic transparency, or Nones."""
+    if dither is None:
+        return None, None
+    face_mesh = packed.vert_mesh_id[packed.faces[:, 0]]
+    tri_alpha = packed.materials[face_mesh, 3]
+    alpha_tex = None
+    if packed.map_atlas.shape[0] > 0:
+        pages = packed.alpha_map_index[face_mesh]
+        alpha_tex = (pages, packed.uvs, packed.map_atlas)
+    return tri_alpha, alpha_tex
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
                       view_proj: jnp.ndarray, height: int, width: int,
                       bones: jnp.ndarray | None = None,
-                      dither: jnp.ndarray | None = None) -> GBuffer:
-    """Render the SoA G-buffer (K16 semantics: optional skinning and
-    stochastic-alpha dither via ``dither`` (H, W) noise)."""
-    world_pos, world_nrm = _world_transform(packed, model_mats, bones)
+                      dither: jnp.ndarray | None = None,
+                      cnmf=0.0,
+                      morph_weights: jnp.ndarray | None = None) -> GBuffer:
+    """Render the SoA G-buffer (K16 semantics: optional morph targets,
+    skinning, and stochastic-alpha transparency via ``dither`` (H, W)
+    noise + ``cnmf`` = cameraNotMovedFrames for the convergence law)."""
+    world_pos, world_nrm = _world_transform(
+        packed, model_mats, bones, morph_weights
+    )
     clip = _clip_positions(world_pos, view_proj)
-    tri_alpha = None
-    if dither is not None:
-        face_mesh = packed.vert_mesh_id[packed.faces[:, 0]]
-        tri_alpha = packed.materials[face_mesh, 3]
+    tri_alpha, alpha_tex = _alpha_inputs(packed, dither)
     ids, depth01 = _visibility(clip, packed.faces, height, width,
-                               tri_alpha, dither)
+                               tri_alpha, dither, cnmf, alpha_tex)
     vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
 
     nrm = _interp(world_nrm, vidx, wts)
@@ -296,6 +366,7 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
         metalness=jnp.where(valid, mat[..., 5], 0.0),
         emissive=jnp.where(vmask, emissive, 0.0),
         depth=depth01,
+        mesh_id=jnp.where(valid, mesh_id, -1).astype(jnp.int32),
     )
 
 
@@ -305,28 +376,36 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
                        prev_view_proj: jnp.ndarray, height: int, width: int,
                        bones: jnp.ndarray | None = None,
                        prev_bones: jnp.ndarray | None = None,
-                       dither: jnp.ndarray | None = None) -> VelocityBuffer:
+                       dither: jnp.ndarray | None = None,
+                       cnmf=0.0,
+                       morph_weights: jnp.ndarray | None = None,
+                       prev_morph_weights: jnp.ndarray | None = None
+                       ) -> VelocityBuffer:
     """Render velocity/depth/normal (K17 semantics).
 
     Both view-proj matrices must be UNJITTERED, mirroring
     `VelocityDepthNormalPass.js:166-171`. Velocity is uv displacement
     ``current - previous`` like `VelocityDepthNormalMaterial.js:75-84`;
-    skinned meshes use the previous frame's bone palette for the previous
-    position (the ``prevBoneTexture`` path).
+    skinned meshes use the previous frame's bone palette and
+    morph-animated meshes the previous frame's morph weights for the
+    previous position (the ``prevBoneTexture`` /
+    ``morphtarget_pars_vertex`` paths,
+    `VelocityDepthNormalMaterial.js:110-132`).
     """
-    world_pos, world_nrm = _world_transform(packed, model_mats, bones)
+    world_pos, world_nrm = _world_transform(
+        packed, model_mats, bones, morph_weights
+    )
     prev_world_pos, _ = _world_transform(
-        packed, prev_model_mats, prev_bones if bones is not None else None
+        packed, prev_model_mats,
+        prev_bones if bones is not None else None,
+        prev_morph_weights if morph_weights is not None else None,
     )
     clip = _clip_positions(world_pos, view_proj)
     prev_clip = _clip_positions(prev_world_pos, prev_view_proj)
 
-    tri_alpha = None
-    if dither is not None:
-        face_mesh = packed.vert_mesh_id[packed.faces[:, 0]]
-        tri_alpha = packed.materials[face_mesh, 3]
+    tri_alpha, alpha_tex = _alpha_inputs(packed, dither)
     ids, depth01 = _visibility(clip, packed.faces, height, width,
-                               tri_alpha, dither)
+                               tri_alpha, dither, cnmf, alpha_tex)
     vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
 
     cur = _interp(clip, vidx, wts)         # (H, W, 4)

@@ -32,6 +32,13 @@ class PackedScene:
     map_atlas: jnp.ndarray     # (N, S, S, 4) material textures (N may be 0)
     map_index: jnp.ndarray     # (M,) int32 page into map_atlas, -1 = none
     emissive_map_index: jnp.ndarray  # (M,) int32, -1 = none
+    alpha_map_index: jnp.ndarray     # (M,) int32, -1 = none
+    morph_pos_deltas: jnp.ndarray    # (V, T, 3) position deltas (T may be 0)
+    morph_nrm_deltas: jnp.ndarray    # (V, T, 3) normal deltas
+
+    @property
+    def num_morph_targets(self) -> int:
+        return int(self.morph_pos_deltas.shape[1])
 
     @property
     def has_skinning(self) -> bool:
@@ -79,10 +86,20 @@ class Scene:
         """``getVisibleChildren`` analog (`SceneUtils.js:17-30`)."""
         return [m for m in self.meshes if m.visible]
 
+    def max_morph_targets(self) -> int:
+        """Max morph-target count over all meshes (packed T dimension)."""
+        return max(
+            (m.morph_positions.shape[0] for m in self.meshes
+             if m.morph_positions is not None),
+            default=0,
+        )
+
     def pack(self) -> PackedScene:
         positions, normals, faces, vert_ids, mats = [], [], [], [], []
         skin_idx, skin_wgt, uvs = [], [], []
-        atlas_pages, map_idx, emis_idx = [], [], []
+        atlas_pages, map_idx, emis_idx, alpha_idx = [], [], [], []
+        morph_pos, morph_nrm = [], []
+        t_max = self.max_morph_targets()
         offset = 0
         bone_offset = 1  # global bone 0 is the identity for unskinned verts
 
@@ -92,9 +109,23 @@ class Scene:
             atlas_pages.append(_resize_texture(tex, TEXTURE_ATLAS_SIZE))
             return len(atlas_pages) - 1
 
+        def morph_rows(mesh, nv):
+            """(V, T_max, 3) zero-padded per-vertex morph deltas."""
+            pos = np.zeros((nv, t_max, 3), np.float32)
+            nrm = np.zeros((nv, t_max, 3), np.float32)
+            if mesh.morph_positions is not None:
+                t = mesh.morph_positions.shape[0]
+                pos[:, :t] = np.transpose(
+                    np.asarray(mesh.morph_positions, np.float32), (1, 0, 2))
+                if mesh.morph_normals is not None:
+                    nrm[:, :t] = np.transpose(
+                        np.asarray(mesh.morph_normals, np.float32), (1, 0, 2))
+            return pos, nrm
+
         for i, mesh in enumerate(self.meshes):
             map_idx.append(page_for(mesh.material.map))
             emis_idx.append(page_for(mesh.material.emissive_map))
+            alpha_idx.append(page_for(mesh.material.alpha_map))
             if not mesh.visible:
                 # keep the mesh slot (matrices stay index-aligned) but
                 # contribute no geometry
@@ -120,6 +151,10 @@ class Scene:
                 w = np.zeros((nv, 4), np.float32)
                 w[:, 0] = 1.0
                 skin_wgt.append(w)
+            if t_max > 0:
+                mp, mn = morph_rows(mesh, nv)
+                morph_pos.append(mp)
+                morph_nrm.append(mn)
             if mesh.bone_matrices is not None:
                 bone_offset += len(mesh.bone_matrices)
             offset += nv
@@ -132,9 +167,13 @@ class Scene:
             skin_idx = [np.zeros((1, 4), np.int32)]
             w0 = np.zeros((1, 4), np.float32); w0[:, 0] = 1.0
             skin_wgt = [w0]
+            if t_max > 0:
+                morph_pos = [np.zeros((1, t_max, 3), np.float32)]
+                morph_nrm = [np.zeros((1, t_max, 3), np.float32)]
             if not mats:
                 from .geometry import Material
                 mats = [Material().as_row()]
+        n_verts = sum(len(p) for p in positions)
         return PackedScene(
             positions=jnp.asarray(np.concatenate(positions), jnp.float32),
             normals=jnp.asarray(np.concatenate(normals), jnp.float32),
@@ -151,6 +190,15 @@ class Scene:
             ),
             map_index=jnp.asarray(np.asarray(map_idx, np.int32)),
             emissive_map_index=jnp.asarray(np.asarray(emis_idx, np.int32)),
+            alpha_map_index=jnp.asarray(np.asarray(alpha_idx, np.int32)),
+            morph_pos_deltas=jnp.asarray(
+                np.concatenate(morph_pos) if morph_pos
+                else np.zeros((n_verts, 0, 3), np.float32)
+            ),
+            morph_nrm_deltas=jnp.asarray(
+                np.concatenate(morph_nrm) if morph_nrm
+                else np.zeros((n_verts, 0, 3), np.float32)
+            ),
         )
 
     # --- bone palettes (identity bone 0 + per-mesh palettes) ------------
@@ -169,6 +217,27 @@ class Scene:
                 src = m.bone_matrices
             mats.extend(np.asarray(src))
         return np.stack(mats).astype(np.float32)
+
+    # --- morph-target weights (per-mesh rows, zero-padded to T_max) ------
+    def morph_weight_matrix(self, prev: bool = False) -> np.ndarray:
+        t_max = self.max_morph_targets()
+        out = np.zeros((max(len(self.meshes), 1), t_max), np.float32)
+        for i, m in enumerate(self.meshes):
+            w = m.prev_morph_weights if prev else m.morph_weights
+            if w is None:
+                w = m.morph_weights
+            if w is not None:
+                w = np.asarray(w, np.float32)
+                out[i, : w.shape[0]] = w
+        return out
+
+    def gi_mask(self) -> np.ndarray:
+        """Per-mesh SSGI participation (1 = traced, 0 = excluded); the
+        Selection-layers analog (`SSGIPass.js:71-79`)."""
+        return np.asarray(
+            [0.0 if m.gi_exclude else 1.0 for m in self.meshes] or [1.0],
+            np.float32,
+        )
 
     def model_matrices(self) -> jnp.ndarray:
         return jnp.asarray(

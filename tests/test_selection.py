@@ -1,0 +1,78 @@
+"""SSGI selection-mask tests (the camera-layers Selection analog).
+
+Reference: with a non-empty ``SSGIEffect.selection`` the GI G-buffer is
+rendered with only the selected layer (`SSGIPass.js:71-79`); unselected
+objects get no GI. Here each mesh carries ``gi_exclude`` and excluded
+pixels return plain scene color (per-pixel mask over ``GBuffer.mesh_id``).
+"""
+
+import numpy as np
+
+from realism_effects_tpu.composer import EffectComposer
+from realism_effects_tpu.core.camera import PerspectiveCamera
+from realism_effects_tpu.effects.ssgi import SSGIEffect
+from realism_effects_tpu.scene.geometry import (
+    Material, make_box, make_plane, translation,
+)
+from realism_effects_tpu.scene.rasterizer import rasterize_gbuffer
+from realism_effects_tpu.scene.scene import Scene
+
+
+def _scene(exclude_box: bool):
+    scene = Scene()
+    scene.add(make_plane(20, Material(diffuse=(0.6, 0.6, 0.6, 1.0))))
+    glow = scene.add(make_box(
+        (0.2, 2.0, 3.0),
+        Material(diffuse=(1.0, 0.6, 0.3, 1.0), emissive=(8.0, 3.0, 1.0)),
+    ))
+    glow.set_matrix(translation(-1.5, 1.0, 0))
+    box = scene.add(make_box(
+        (1, 1, 1), Material(diffuse=(0.8, 0.8, 0.85, 1.0))))
+    box.gi_exclude = exclude_box
+    box.set_matrix(translation(0.8, 0.5, 0))
+    cam = PerspectiveCamera(50, 1, 0.1, 100)
+    cam.set_position(2.5, 2.0, 4)
+    cam.look_at((0, 0.5, 0))
+    return scene, cam
+
+
+def _render(exclude_box, with_gi=True, frames=4, hw=72):
+    scene, cam = _scene(exclude_box)
+    composer = EffectComposer(scene, cam, hw, hw)
+    if with_gi:
+        composer.add_effect(SSGIEffect(steps=8, refine_steps=2))
+    img = None
+    for _ in range(frames):
+        img = np.asarray(composer.render(dt=1 / 60))
+    # pixel ownership map for assertions
+    packed = scene.pack()
+    m = cam.matrices()
+    gb = rasterize_gbuffer(
+        packed, scene.model_matrices(), m.projection_view_matrix, hw, hw)
+    return img, np.asarray(gb.mesh_id)
+
+
+def test_excluded_mesh_keeps_scene_color():
+    gi_img, mesh_id = _render(exclude_box=True)
+    plain_img, _ = _render(exclude_box=True, with_gi=False)
+    box_px = mesh_id == 2
+    assert box_px.sum() > 30
+    # excluded pixels bypass GI entirely -> exactly the scene color
+    np.testing.assert_allclose(
+        gi_img[box_px], plain_img[box_px], atol=1e-5)
+    # but GI still applies elsewhere (the glowing panel bleeds onto the
+    # floor): floor pixels must differ from the plain render
+    floor_px = mesh_id == 0
+    assert np.abs(gi_img[floor_px] - plain_img[floor_px]).max() > 0.02
+
+
+def test_included_mesh_receives_gi():
+    gi_img, mesh_id = _render(exclude_box=False)
+    plain_img, _ = _render(exclude_box=False, with_gi=False)
+    box_px = mesh_id == 2
+    assert np.abs(gi_img[box_px] - plain_img[box_px]).max() > 0.02
+
+
+def test_gi_mask_vector():
+    scene, _ = _scene(exclude_box=True)
+    np.testing.assert_array_equal(scene.gi_mask(), [1.0, 1.0, 0.0])
