@@ -115,12 +115,20 @@ def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z, w], axis=-1)
 
 
-def blue_noise_image(height: int, width: int, index, tile: jnp.ndarray | None = None) -> jnp.ndarray:
+def blue_noise_image(height: int, width: int, index,
+                     tile: jnp.ndarray | None = None,
+                     row_offset=0, col_offset=0) -> jnp.ndarray:
     """Per-pixel (H, W, 4) blue-noise values for frame ``index``.
 
     Mirrors ``blueNoise()`` in `blue_noise.glsl:37-48`: the pixel coordinate
     is shifted by a PCG4D hash of the frame index, then used to fetch the
     128x128 tile toroidally. ``index`` may be a traced scalar.
+
+    ``row_offset``/``col_offset`` (static or traced ints, may be negative)
+    shift the pixel coordinates to their *global* position — a row-sharded
+    device block at global row ``r0`` passes ``row_offset=r0`` and gets
+    bit-identical noise to the single-chip image, which is what makes the
+    sharded stencil passes exactly equal to their unsharded counterparts.
     """
     if tile is None:
         tile = jnp.asarray(blue_noise_tile())
@@ -137,10 +145,13 @@ def blue_noise_image(height: int, width: int, index, tile: jnp.ndarray | None = 
     )
     s = pcg4d(seed)
     shift = s[..., :2] % np.uint32(0x0FFFFFFF)
-    px = jax_broadcast_iota(height, width)
-    ix = (px[..., 0] + shift[0]) % np.uint32(size)
-    iy = (px[..., 1] + shift[1]) % np.uint32(size)
-    return tile[iy.astype(jnp.int32), ix.astype(jnp.int32)]
+    px = jax_broadcast_iota(height, width).astype(jnp.int32)
+    gx = px[..., 0] + jnp.asarray(col_offset, jnp.int32)
+    gy = px[..., 1] + jnp.asarray(row_offset, jnp.int32)
+    # signed mod (non-negative result) so negative halo rows wrap correctly
+    ix = jnp.mod(gx + shift[0].astype(jnp.int32), size)
+    iy = jnp.mod(gy + shift[1].astype(jnp.int32), size)
+    return tile[iy, ix]
 
 
 def jax_broadcast_iota(height: int, width: int) -> jnp.ndarray:
@@ -152,10 +163,11 @@ def jax_broadcast_iota(height: int, width: int) -> jnp.ndarray:
 
 def vogel_disk(count: int, phi_offset: float = 0.0) -> np.ndarray:
     """Vogel spiral distribution on the unit disk, matching
-    ``generateVogelDistribution`` (`/root/reference/src/ssgi/utils/Utils.js:104-120`
-    semantics: golden-angle spiral, radius sqrt(i/n))."""
+    ``generateVogelDistribution`` exactly
+    (`/root/reference/src/ssgi/utils/Utils.js:104-120`: radius
+    sqrt(i/n), golden-angle spiral, first point at the origin)."""
     golden = np.pi * (3.0 - np.sqrt(5.0))
     i = np.arange(count, dtype=np.float64)
-    r = np.sqrt((i + 0.5) / count)
+    r = np.sqrt(i / count)
     theta = i * golden + phi_offset
     return np.stack([r * np.cos(theta), r * np.sin(theta)], axis=-1).astype(np.float32)

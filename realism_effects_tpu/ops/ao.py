@@ -21,6 +21,32 @@ from ..core.rng import blue_noise_image, vogel_disk
 from ..core.sampling import sample_bilinear, texel_fetch
 
 
+# the reference's literal 16-point sample table (`gtao.frag:69-75`) — a
+# shuffled Vogel distribution baked into the shader; kept verbatim so the
+# 16-sample GTAO path is numerically identical
+VOGEL16 = np.array(
+    [
+        (0.030909661398755346, -0.35219964910859053),
+        (0.24815307104280765, 0.7911510938702059),
+        (-0.18434221951957994, 0.16887257356538096),
+        (0.47167354889397395, -0.30004010277588555),
+        (0.2634617551286817, 0.3436392055405124),
+        (-0.12442994035028206, -0.9602172618446438),
+        (-0.49235674265771434, -0.08709097518965582),
+        (-0.15897452050963823, 0.5913772922836407),
+        (-0.6932591671033536, 0.2861673063562022),
+        (0.0, 0.0),
+        (0.6642004583437224, 0.24256494210002652),
+        (-0.5379843192229464, 0.7652273337186949),
+        (0.8803636453299621, -0.19354547781165166),
+        (0.33507968037296143, -0.7160458140378687),
+        (-0.30486134122856906, -0.586991961294461),
+        (-0.7492948872853635, -0.4342317029973909),
+    ],
+    np.float32,
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class AOConfig:
     """Static knobs; defaults mirror ``defaultAOOptions``
@@ -189,7 +215,9 @@ def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
     view_z = jnp.abs(math3d.perspective_depth_to_view_z(depth, cam.near, cam.far))
 
     n_samples = cfg.spp if cfg.spp > 0 else 16
-    vogel = jnp.asarray(vogel_disk(n_samples))
+    vogel = jnp.asarray(
+        VOGEL16 if n_samples == 16 else vogel_disk(n_samples)
+    )
     radius = 0.25 * (cfg.distance / 2.0)
     proj_view = cam.projection_view_matrix
 
