@@ -1,0 +1,429 @@
+"""Minimal glTF 2.0 loader (+ GLB writer for fixtures).
+
+The reference's de-facto regression fixtures are glTF scenes loaded by
+its demo app (`/root/reference/example/main.js:760-809` via three.js
+GLTFLoader). This loader covers the subset the framework renders:
+
+- .glb (binary container) and .gltf (JSON + external / data-URI buffers)
+- triangle primitives: POSITION, NORMAL (computed if absent),
+  TEXCOORD_0, indices; node hierarchy with baked world transforms
+- pbrMetallicRoughness materials: baseColor factor/texture,
+  metallic/roughness factors, emissive factor/texture; MASK/BLEND alpha
+  modes map to the stochastic-alpha path (base-color texture alpha is
+  converted into an ``alpha_map`` whose green channel carries alpha,
+  matching `GBufferMaterial.js:57-61` semantics)
+
+Out of scope (raises/skips with a warning): Draco/meshopt compression
+(the reference's `example/public` assets are Draco-compressed; no decoder
+ships in this environment), skins/morphs via glTF (the native Mesh API
+supports both directly), KHR extensions, sparse accessors, non-triangle
+modes.
+
+``write_glb`` exports Mesh lists back to a valid minimal GLB — used to
+generate the committed demo fixture and for loader round-trip tests.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import struct
+import warnings
+
+import numpy as np
+
+from .geometry import Material, Mesh
+
+_COMPONENT_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_TYPE_COUNTS = {
+    "SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+    "MAT2": 4, "MAT3": 9, "MAT4": 16,
+}
+
+
+def _read_glb(data: bytes):
+    magic, version, _length = struct.unpack_from("<4sII", data, 0)
+    if magic != b"glTF":
+        raise ValueError("not a GLB file")
+    if version != 2:
+        raise ValueError(f"unsupported GLB version {version}")
+    offset = 12
+    gltf_json, bin_chunk = None, None
+    while offset < len(data):
+        chunk_len, chunk_type = struct.unpack_from("<I4s", data, offset)
+        body = data[offset + 8: offset + 8 + chunk_len]
+        if chunk_type == b"JSON":
+            gltf_json = json.loads(body)
+        elif chunk_type == b"BIN\x00":
+            bin_chunk = body
+        offset += 8 + chunk_len + ((-chunk_len) % 4 if chunk_type == b"JSON" else 0)
+    if gltf_json is None:
+        raise ValueError("GLB missing JSON chunk")
+    return gltf_json, bin_chunk
+
+
+def _load_buffers(gltf: dict, bin_chunk, base_dir: str):
+    buffers = []
+    for buf in gltf.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            buffers.append(bin_chunk)
+        elif uri.startswith("data:"):
+            buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                buffers.append(f.read())
+    return buffers
+
+
+def _accessor(gltf: dict, buffers, index: int) -> np.ndarray:
+    acc = gltf["accessors"][index]
+    if "sparse" in acc:
+        raise ValueError("sparse accessors not supported")
+    n_comp = _TYPE_COUNTS[acc["type"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    count = acc["count"]
+    if "bufferView" not in acc:
+        return np.zeros((count, n_comp), dtype)
+    view = gltf["bufferViews"][acc["bufferView"]]
+    buf = buffers[view["buffer"]]
+    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    itemsize = np.dtype(dtype).itemsize * n_comp
+    stride = view.get("byteStride") or itemsize
+    if stride == itemsize:
+        raw = np.frombuffer(buf, dtype, count=count * n_comp, offset=start)
+        out = raw.reshape(count, n_comp)
+    else:
+        out = np.empty((count, n_comp), dtype)
+        for i in range(count):
+            out[i] = np.frombuffer(buf, dtype, count=n_comp,
+                                   offset=start + i * stride)
+    if acc.get("normalized"):
+        info = np.iinfo(dtype)
+        out = out.astype(np.float32) / float(info.max)
+    return out
+
+
+def _decode_image(gltf: dict, buffers, base_dir: str, index: int):
+    """Image -> (H, W, 4) float32 in [0, 1], or None if undecodable."""
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover
+        warnings.warn("PIL unavailable; glTF textures skipped")
+        return None
+    img = gltf["images"][index]
+    try:
+        if "uri" in img:
+            uri = img["uri"]
+            if uri.startswith("data:"):
+                raw = base64.b64decode(uri.split(",", 1)[1])
+            else:
+                with open(os.path.join(base_dir, uri), "rb") as f:
+                    raw = f.read()
+        else:
+            view = gltf["bufferViews"][img["bufferView"]]
+            start = view.get("byteOffset", 0)
+            raw = buffers[view["buffer"]][start: start + view["byteLength"]]
+        pil = Image.open(io.BytesIO(raw)).convert("RGBA")
+    except Exception as e:  # unsupported codec (e.g. webp build issues)
+        warnings.warn(f"glTF image {index} undecodable: {e}")
+        return None
+    arr = np.asarray(pil, np.float32) / 255.0
+    # glTF uv origin is top-left; the framework samples row 0 = v=0
+    # (bottom), so flip vertically once at load time
+    return arr[::-1].copy()
+
+
+def _texture_image(gltf, buffers, base_dir, tex_info, cache):
+    if tex_info is None:
+        return None
+    tex = gltf["textures"][tex_info["index"]]
+    src = tex.get("source")
+    if src is None:
+        return None
+    if src not in cache:
+        cache[src] = _decode_image(gltf, buffers, base_dir, src)
+    return cache[src]
+
+
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _material(gltf, buffers, base_dir, index, cache) -> Material:
+    if index is None:
+        return Material()
+    m = gltf["materials"][index]
+    pbr = m.get("pbrMetallicRoughness", {})
+    base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+    emissive = m.get("emissiveFactor", [0.0, 0.0, 0.0])
+
+    base_img = _texture_image(
+        gltf, buffers, base_dir, pbr.get("baseColorTexture"), cache)
+    emis_img = _texture_image(
+        gltf, buffers, base_dir, m.get("emissiveTexture"), cache)
+
+    tex = None
+    alpha_map = None
+    if base_img is not None:
+        tex = base_img.copy()
+        tex[..., :3] = _srgb_to_linear(tex[..., :3])
+        if m.get("alphaMode", "OPAQUE") != "OPAQUE":
+            # alpha rides the green channel of alpha_map
+            # (`GBufferMaterial.js:57-61` semantics)
+            a = base_img[..., 3]
+            alpha_map = np.stack([a, a, a, np.ones_like(a)], -1)
+        tex[..., 3] = 1.0
+    if emis_img is not None:
+        emis_img = emis_img.copy()
+        emis_img[..., :3] = _srgb_to_linear(emis_img[..., :3])
+
+    return Material(
+        diffuse=(base[0], base[1], base[2], base[3]),
+        roughness=float(pbr.get("roughnessFactor", 1.0)),
+        metalness=float(pbr.get("metallicFactor", 1.0)),
+        emissive=tuple(emissive),
+        map=tex,
+        emissive_map=emis_img,
+        alpha_map=alpha_map,
+    )
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+    m = np.eye(4)
+    if "translation" in node:
+        m[:3, 3] = node["translation"]
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        m[:3, :3] = m[:3, :3] @ r
+    if "scale" in node:
+        m[:3, :3] = m[:3, :3] @ np.diag(node["scale"])
+    return m
+
+
+def _face_normals(positions: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    fn = np.cross(
+        positions[faces[:, 1]] - positions[faces[:, 0]],
+        positions[faces[:, 2]] - positions[faces[:, 0]],
+    )
+    normals = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(normals, faces[:, k], fn)
+    norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+    return (normals / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+def load_gltf(path: str) -> list[Mesh]:
+    """Load a .glb/.gltf file into a flat list of :class:`Mesh` with node
+    transforms baked into ``matrix_world``. Add them to a Scene with
+    ``for m in load_gltf(p): scene.add(m)``."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"glTF":
+        gltf, bin_chunk = _read_glb(data)
+    else:
+        gltf, bin_chunk = json.loads(data), None
+
+    required = gltf.get("extensionsRequired", [])
+    if required:
+        raise ValueError(
+            f"glTF requires unsupported extensions: {required} "
+            "(Draco/meshopt-compressed assets cannot be decoded here)"
+        )
+
+    buffers = _load_buffers(gltf, bin_chunk, base_dir)
+    image_cache: dict = {}
+    meshes: list[Mesh] = []
+
+    def visit(node_index: int, parent: np.ndarray):
+        node = gltf["nodes"][node_index]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            for prim in gltf["meshes"][node["mesh"]]["primitives"]:
+                if prim.get("mode", 4) != 4:
+                    warnings.warn("skipping non-triangle primitive")
+                    continue
+                attrs = prim["attributes"]
+                pos = _accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
+                if "indices" in prim:
+                    idx = _accessor(gltf, buffers, prim["indices"])
+                    faces = idx.reshape(-1, 3).astype(np.int32)
+                else:
+                    faces = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
+                if "NORMAL" in attrs:
+                    nrm = _accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
+                else:
+                    nrm = _face_normals(pos, faces)
+                uvs = None
+                if "TEXCOORD_0" in attrs:
+                    uv = _accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+                    # glTF v runs top-down; flip to the framework's
+                    # bottom-up convention (textures were flipped too)
+                    uvs = np.stack([uv[..., 0], 1.0 - uv[..., 1]], -1)
+                mesh = Mesh(
+                    positions=pos, normals=nrm, faces=faces,
+                    material=_material(
+                        gltf, buffers, base_dir,
+                        prim.get("material"), image_cache),
+                    uvs=uvs,
+                )
+                mesh.set_matrix(world)
+                meshes.append(mesh)
+        for child in node.get("children", []):
+            visit(child, world)
+
+    scene_index = gltf.get("scene", 0)
+    roots = gltf["scenes"][scene_index]["nodes"] if gltf.get("scenes") else range(len(gltf.get("nodes", [])))
+    for root in roots:
+        visit(root, np.eye(4))
+    return meshes
+
+
+# ---------------------------------------------------------------------------
+# Minimal GLB writer (fixture generation + round-trip tests)
+# ---------------------------------------------------------------------------
+
+def write_glb(meshes: list[Mesh], path: str):
+    """Serialize meshes (positions/normals/uvs/indices + base material
+    factors and PNG base-color/emissive textures) into a valid GLB."""
+    from ..utils.image_io import write_png  # noqa: F401 (PNG helper nearby)
+    from PIL import Image
+
+    bin_parts: list[bytes] = []
+    buffer_views, accessors, out_meshes, nodes = [], [], [], []
+    materials, textures, images, samplers = [], [], [], [{}]
+
+    def add_view(data: bytes, target=None):
+        offset = sum(len(p) for p in bin_parts)
+        view = {"buffer": 0, "byteOffset": offset, "byteLength": len(data)}
+        if target:
+            view["target"] = target
+        buffer_views.append(view)
+        bin_parts.append(data + b"\x00" * ((-len(data)) % 4))
+        return len(buffer_views) - 1
+
+    def add_accessor(arr: np.ndarray, gl_type: str, component: int,
+                     target=None, minmax=False):
+        view = add_view(np.ascontiguousarray(arr).tobytes(), target)
+        acc = {
+            "bufferView": view, "componentType": component,
+            "count": len(arr), "type": gl_type,
+        }
+        if minmax:
+            acc["min"] = np.asarray(arr).min(0).tolist()
+            acc["max"] = np.asarray(arr).max(0).tolist()
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    def add_texture(img: np.ndarray | None):
+        if img is None:
+            return None
+        # stored bottom-up internally; PNG is top-down
+        arr = (np.clip(img[::-1], 0.0, 1.0) * 255).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3 + [np.full_like(arr, 255)], -1)
+        if arr.shape[-1] == 3:
+            arr = np.concatenate(
+                [arr, np.full_like(arr[..., :1], 255)], -1)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGBA").save(buf, "PNG")
+        images.append({"bufferView": add_view(buf.getvalue()),
+                       "mimeType": "image/png"})
+        textures.append({"source": len(images) - 1, "sampler": 0})
+        return {"index": len(textures) - 1}
+
+    def srgb(c):
+        c = np.clip(np.asarray(c, np.float64), 0.0, 1.0)
+        return np.where(c <= 0.0031308, c * 12.92,
+                        1.055 * c ** (1 / 2.4) - 0.055)
+
+    for i, mesh in enumerate(meshes):
+        mat = mesh.material
+        base_tex = add_texture(
+            None if mat.map is None
+            else np.concatenate(
+                [srgb(mat.map[..., :3]),
+                 (mat.alpha_map[..., 1:2] if mat.alpha_map is not None
+                  else np.ones_like(mat.map[..., :1]))], -1))
+        emis_tex = add_texture(
+            None if mat.emissive_map is None else srgb(mat.emissive_map[..., :3]))
+        gm = {
+            "pbrMetallicRoughness": {
+                "baseColorFactor": [float(x) for x in mat.diffuse],
+                "roughnessFactor": float(mat.roughness),
+                "metallicFactor": float(mat.metalness),
+            },
+            "emissiveFactor": [float(x) for x in mat.emissive],
+        }
+        if base_tex:
+            gm["pbrMetallicRoughness"]["baseColorTexture"] = base_tex
+            if mat.alpha_map is not None:
+                gm["alphaMode"] = "BLEND"
+        if emis_tex:
+            gm["emissiveTexture"] = emis_tex
+        materials.append(gm)
+
+        attrs = {
+            "POSITION": add_accessor(
+                mesh.positions.astype(np.float32), "VEC3", 5126,
+                target=34962, minmax=True),
+            "NORMAL": add_accessor(
+                mesh.normals.astype(np.float32), "VEC3", 5126, target=34962),
+        }
+        if mesh.uvs is not None:
+            uv = np.stack(
+                [mesh.uvs[..., 0], 1.0 - mesh.uvs[..., 1]], -1)
+            attrs["TEXCOORD_0"] = add_accessor(
+                uv.astype(np.float32), "VEC2", 5126, target=34962)
+        indices = add_accessor(
+            mesh.faces.astype(np.uint32).reshape(-1, 1), "SCALAR", 5125,
+            target=34963)
+        out_meshes.append({
+            "primitives": [{
+                "attributes": attrs, "indices": indices, "material": i,
+            }]
+        })
+        nodes.append({
+            "mesh": i,
+            "matrix": np.asarray(mesh.matrix_world, np.float64).T.reshape(-1).tolist(),
+        })
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "realism_effects_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes,
+        "meshes": out_meshes,
+        "materials": materials,
+        "bufferViews": buffer_views,
+        "accessors": accessors,
+        "buffers": [{"byteLength": sum(len(p) for p in bin_parts)}],
+    }
+    if textures:
+        gltf["textures"] = textures
+        gltf["images"] = images
+        gltf["samplers"] = samplers
+
+    bin_blob = b"".join(bin_parts)
+    json_blob = json.dumps(gltf, separators=(",", ":")).encode()
+    json_blob += b" " * ((-len(json_blob)) % 4)
+    total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4sII", b"glTF", 2, total))
+        f.write(struct.pack("<I4s", len(json_blob), b"JSON"))
+        f.write(json_blob)
+        f.write(struct.pack("<I4s", len(bin_blob), b"BIN\x00"))
+        f.write(bin_blob)

@@ -1,0 +1,107 @@
+"""glTF loader / GLB writer tests.
+
+The reference loads glTF demo scenes through three.js
+(`example/main.js:760-809`); here ``load_gltf`` brings standard
+uncompressed glTF 2.0 assets into the Scene API (its Draco-compressed
+demo assets explicitly raise — no decoder in this environment).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from realism_effects_tpu.composer import EffectComposer
+from realism_effects_tpu.core.camera import PerspectiveCamera
+from realism_effects_tpu.effects.ao import HBAOEffect
+from realism_effects_tpu.scene.geometry import (
+    Material, make_box, make_plane, make_sphere, translation,
+)
+from realism_effects_tpu.scene.gltf import load_gltf, write_glb
+from realism_effects_tpu.scene.scene import Scene
+
+
+def _demo_meshes():
+    checker = np.ones((16, 16, 4), np.float32)
+    yy, xx = np.mgrid[0:16, 0:16]
+    checker[..., :3] = np.where(
+        (((xx // 4) + (yy // 4)) % 2 == 0)[..., None], 0.9, 0.25)
+    plane = make_plane(8, Material(diffuse=(1, 1, 1, 1), map=checker))
+    box = make_box((1, 1, 1), Material(
+        diffuse=(0.9, 0.3, 0.2, 1.0), roughness=0.4, metalness=0.1,
+        emissive=(0.2, 0.0, 0.0)))
+    box.set_matrix(translation(0, 0.5, 0))
+    sphere = make_sphere(0.6, material=Material(
+        diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.15, metalness=0.9))
+    sphere.set_matrix(translation(1.4, 0.6, 0.4))
+    return [plane, box, sphere]
+
+
+class TestRoundTrip:
+    def test_geometry_and_materials_survive(self, tmp_path):
+        meshes = _demo_meshes()
+        path = str(tmp_path / "scene.glb")
+        write_glb(meshes, path)
+        loaded = load_gltf(path)
+        assert len(loaded) == len(meshes)
+        for src, dst in zip(meshes, loaded):
+            np.testing.assert_allclose(dst.positions, src.positions, atol=1e-6)
+            np.testing.assert_allclose(dst.normals, src.normals, atol=1e-6)
+            np.testing.assert_array_equal(dst.faces, src.faces)
+            np.testing.assert_allclose(
+                dst.matrix_world, src.matrix_world, atol=1e-9)
+            np.testing.assert_allclose(
+                dst.material.diffuse, src.material.diffuse, atol=1e-6)
+            assert abs(dst.material.roughness - src.material.roughness) < 1e-6
+            assert abs(dst.material.metalness - src.material.metalness) < 1e-6
+            if src.uvs is not None:
+                np.testing.assert_allclose(dst.uvs, src.uvs, atol=1e-6)
+
+    def test_texture_roundtrip(self, tmp_path):
+        meshes = _demo_meshes()
+        path = str(tmp_path / "tex.glb")
+        write_glb(meshes, path)
+        loaded = load_gltf(path)
+        tex = loaded[0].material.map
+        assert tex is not None and tex.shape == (16, 16, 4)
+        # checker survives srgb round-trip + 8-bit quantization
+        src = meshes[0].material.map
+        np.testing.assert_allclose(tex[..., :3], src[..., :3], atol=0.02)
+
+    def test_alpha_map_roundtrip(self, tmp_path):
+        tex = np.ones((8, 8, 4), np.float32)
+        amap = np.zeros((8, 8, 4), np.float32)
+        amap[..., 1] = np.linspace(0, 1, 8)[None, :].repeat(8, 0)
+        plane = make_plane(2, Material(map=tex, alpha_map=amap))
+        path = str(tmp_path / "alpha.glb")
+        write_glb([plane], path)
+        (loaded,) = load_gltf(path)
+        assert loaded.material.alpha_map is not None
+        np.testing.assert_allclose(
+            loaded.material.alpha_map[..., 1], amap[..., 1], atol=0.01)
+
+
+class TestRendering:
+    def test_loaded_scene_renders(self, tmp_path):
+        path = str(tmp_path / "scene.glb")
+        write_glb(_demo_meshes(), path)
+        scene = Scene()
+        for m in load_gltf(path):
+            scene.add(m)
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(3, 2.5, 4)
+        cam.look_at((0, 0.5, 0))
+        composer = EffectComposer(scene, cam, 64, 64)
+        composer.add_effect(HBAOEffect(spp=4))
+        img = np.asarray(composer.render(dt=1 / 60))
+        assert np.isfinite(img).all()
+        assert img.max() > 0.01  # something rendered
+
+
+class TestReferenceAssets:
+    REF = "/root/reference/example/public/gltf/flashbang_grenade.optimized.glb"
+
+    @pytest.mark.skipif(not os.path.exists(REF), reason="reference absent")
+    def test_draco_assets_raise_clearly(self):
+        with pytest.raises(ValueError, match="Draco|extensions"):
+            load_gltf(self.REF)
