@@ -90,6 +90,32 @@ def build_scene(name: str):
         cam.look_at((0, 1.4, 0))
         animate = None
 
+    elif name == "gltf":
+        # asset-pipeline demo: a GLB authored by write_glb and loaded
+        # back through the glTF loader (`example/main.js:760-809` analog)
+        import tempfile
+        from realism_effects_tpu.scene.gltf import load_gltf, write_glb
+
+        checker = np.ones((32, 32, 4), np.float32)
+        yy, xx = np.mgrid[0:32, 0:32]
+        checker[..., :3] = np.where(
+            (((xx // 8) + (yy // 8)) % 2 == 0)[..., None], 0.85, 0.3)
+        plane = make_plane(16, Material(diffuse=(1, 1, 1, 1), map=checker))
+        box = make_box((1, 1, 1), Material(
+            diffuse=(0.9, 0.3, 0.2, 1.0), roughness=0.4))
+        box.set_matrix(translation(0, 0.5, 0))
+        ball = make_sphere(0.6, material=Material(
+            diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.15, metalness=0.9))
+        ball.set_matrix(translation(1.5, 0.6, 0.4))
+        path = os.path.join(tempfile.gettempdir(), "re_tpu_demo.glb")
+        write_glb([plane, box, ball], path)
+        for m in load_gltf(path):
+            scene.add(m)
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(3, 2.5, 4)
+        cam.look_at((0, 0.5, 0))
+        animate = None
+
     elif name == "dynamic":
         scene.add(make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
         box = scene.add(make_box((1, 1, 1), Material(

@@ -71,8 +71,12 @@ def poisson_denoise_pass(
     gbuffer: GBuffer,
     noise_index,
     cfg: PoissonDenoiseConfig,
+    row_offset=0,
 ):
-    """One 8-tap pass over all texture slots. (H, W, 4) in/out per slot."""
+    """One 8-tap pass over all texture slots. (H, W, 4) in/out per slot.
+
+    ``row_offset``: global row of this block's first row (sharded blocks
+    pass it so the blue-noise phase matches the single-chip image)."""
     h, w = gbuffer.depth.shape
     uv = uv_grid(h, w)
     depth = gbuffer.depth
@@ -88,7 +92,7 @@ def poisson_denoise_pass(
     )
     flatness = flatness ** 2.0 * 0.75 + 0.25
 
-    noise = blue_noise_image(h, w, noise_index)
+    noise = blue_noise_image(h, w, noise_index, row_offset=row_offset)
     angle = noise[..., 0] * 2.0 * jnp.pi
     s, c = jnp.sin(angle), jnp.cos(angle)
     rscale = cfg.radius * flatness
@@ -163,6 +167,7 @@ def poisson_denoise(
     gbuffer: GBuffer,
     frame,
     cfg: PoissonDenoiseConfig,
+    row_offset=0,
 ):
     """Full denoise: 2*iterations sequential passes (the ping-pong A/B
     scheme of `PoissonDenoisePass.js:135-149` expressed as a loop carry).
@@ -170,7 +175,8 @@ def poisson_denoise(
     out = list(textures)
     for p in range(2 * cfg.iterations):
         out = poisson_denoise_pass(
-            out, gbuffer, jnp.asarray(frame) * 2 * cfg.iterations + p, cfg
+            out, gbuffer, jnp.asarray(frame) * 2 * cfg.iterations + p, cfg,
+            row_offset=row_offset,
         )
     return out
 

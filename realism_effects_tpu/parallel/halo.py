@@ -17,11 +17,14 @@ GSPMD sharding propagation (see ``__graft_entry__.dryrun_multichip``).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.poisson_denoise import PoissonDenoiseConfig, poisson_denoise
+from ..ops.poisson_denoise import PoissonDenoiseConfig, poisson_denoise_pass
 from .sharding import ROW_AXIS
 
 
@@ -52,40 +55,63 @@ def _crop(x: jnp.ndarray, halo: int):
     return x[halo: x.shape[0] - halo]
 
 
+@functools.lru_cache(maxsize=32)
+def _poisson_sharded_fn(n_tex: int, gb_treedef, cfg: PoissonDenoiseConfig,
+                        mesh: Mesh):
+    """Build + jit the sharded Poisson program (cached per config/mesh).
+
+    The jit wrapper matters: dispatching a shard_map eagerly compiles its
+    gather-heavy body orders of magnitude slower on the CPU backend
+    (~3 s *per gather op*, ~8 min for the full kernel) than compiling the
+    identical program under jit (<1 s).
+    """
+    halo = int(np.ceil(cfg.radius)) + 2  # max tap offset + bilinear footprint
+    n_passes = 2 * cfg.iterations
+    n_gb = gb_treedef.num_leaves
+
+    def local_fn(frame, *args):
+        texs = list(args[:n_tex])
+        gb = jax.tree_util.tree_unflatten(gb_treedef, args[n_tex:])
+        h_loc = texs[0].shape[0]
+        # global row of the extended block's first row (may be negative on
+        # shard 0; blue_noise_image wraps it toroidally like any other row)
+        row0 = jax.lax.axis_index(ROW_AXIS) * h_loc - halo
+
+        gb_ext = jax.tree_util.tree_map(
+            lambda p: halo_exchange_rows(p, halo), gb
+        )
+        for p in range(n_passes):
+            ext = [halo_exchange_rows(t, halo) for t in texs]
+            out = poisson_denoise_pass(
+                ext, gb_ext, frame * n_passes + p, cfg,
+                row_offset=row0,
+            )
+            texs = [_crop(t, halo) for t in out]
+        return tuple(texs)
+
+    return jax.jit(jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(),) + tuple([P(ROW_AXIS)] * (n_tex + n_gb)),
+        out_specs=tuple([P(ROW_AXIS)] * n_tex),
+    ))
+
+
 def poisson_denoise_sharded(textures, gbuffer, frame, cfg: PoissonDenoiseConfig,
                             mesh: Mesh):
     """Row-sharded Poisson denoise with halo exchange.
 
-    Equivalent to :func:`ops.poisson_denoise.poisson_denoise` (up to the
-    shard-boundary pixels' blue-noise tile phase) but runs each ping-pong
-    pass entirely shard-local after exchanging ``ceil(radius)+1`` rows.
+    **Bit-identical** (up to f32 reassociation) to
+    :func:`ops.poisson_denoise.poisson_denoise`: each of the
+    ``2 * iterations`` ping-pong passes re-exchanges ``ceil(radius)+2``
+    boundary rows (a later pass reads the *previous pass's* output in the
+    halo, so one up-front exchange is not enough), and the blue-noise
+    phase is evaluated at global pixel coordinates via ``row_offset`` so
+    every shard reproduces the single-chip noise image.
     """
-    halo = int(cfg.radius) + 2  # max tap offset + bilinear footprint
-
-    # taps use uv offsets computed against the *extended* block height, so
-    # the kernel itself is unchanged; only the blue-noise phase differs by
-    # the halo offset (acceptable: it is a per-pixel random rotation).
-    def local_fn(*args):
-        texs = list(args[:len(textures)])
-        gb_leaves = args[len(textures):]
-        gb = jax.tree_util.tree_unflatten(gb_treedef, gb_leaves)
-
-        texs = [halo_exchange_rows(t, halo) for t in texs]
-        gb = jax.tree_util.tree_map(
-            lambda p: halo_exchange_rows(p, halo), gb
-        )
-        out = poisson_denoise(texs, gb, frame, cfg)
-        return tuple(_crop(t, halo) for t in out)
-
     gb_leaves, gb_treedef = jax.tree_util.tree_flatten(gbuffer)
-
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=tuple([P(ROW_AXIS)] * (len(textures) + len(gb_leaves))),
-        out_specs=tuple([P(ROW_AXIS)] * len(textures)),
-    )
-    return list(fn(*textures, *gb_leaves))
+    fn = _poisson_sharded_fn(len(textures), gb_treedef, cfg, mesh)
+    return list(fn(jnp.asarray(frame, jnp.int32), *textures, *gb_leaves))
 
 
 def sharded_stencil(fn, mesh: Mesh, halo: int, num_outputs: int = 1):
@@ -93,7 +119,9 @@ def sharded_stencil(fn, mesh: Mesh, halo: int, num_outputs: int = 1):
 
     ``fn`` takes and returns full-height arrays; the wrapper runs it per
     shard on halo-extended blocks and crops. All array arguments must be
-    row-shardable (same leading H).
+    row-shardable (same leading H). The shard_map is dispatched under jit
+    (eager shard_map compiles gather-heavy bodies pathologically slowly
+    on the CPU backend).
     """
     def wrapped(*arrays):
         def local(*blocks):
@@ -108,8 +136,8 @@ def sharded_stencil(fn, mesh: Mesh, halo: int, num_outputs: int = 1):
             P(ROW_AXIS) if num_outputs == 1
             else tuple([P(ROW_AXIS)] * num_outputs)
         )
-        return jax.shard_map(
+        return jax.jit(jax.shard_map(
             local, mesh=mesh, in_specs=in_specs, out_specs=out_specs
-        )(*arrays)
+        ))(*arrays)
 
     return wrapped

@@ -56,13 +56,24 @@ def shard_pytree(tree, mesh: Mesh):
 def shard_frame_fn(frame_fn, mesh: Mesh, donate_argnums=()):
     """jit ``frame_fn`` with row-sharded image outputs over ``mesh``.
 
-    Inputs keep whatever sharding the caller placed (use
-    :func:`shard_pytree`); GSPMD propagates shardings and inserts
-    collectives (all-gathers for cross-row gathers, halo exchange for
-    stencils) automatically.
+    Every image-like output leaf (>= 2D, leading dim divisible by the
+    mesh size) is constrained to :func:`row_sharding`; other leaves are
+    constrained to replicated. Inputs keep whatever sharding the caller
+    placed (use :func:`shard_pytree`); GSPMD propagates shardings through
+    the body and inserts the collectives (all-gathers for cross-row
+    gathers, halo exchange for stencils) automatically.
     """
-    out_sharding = None  # inferred; annotate via with_sharding_constraint in fn
-    return jax.jit(frame_fn, donate_argnums=donate_argnums)
+
+    def constrained(*args, **kwargs):
+        out = frame_fn(*args, **kwargs)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, _spec_for(x, mesh)
+            ) if hasattr(x, "ndim") else x,
+            out,
+        )
+
+    return jax.jit(constrained, donate_argnums=donate_argnums)
 
 
 def constrain_rows(x, mesh: Mesh):

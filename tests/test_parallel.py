@@ -69,26 +69,28 @@ class TestHaloExchange:
             assert out[i, 2, 0] == bot
 
 
-class TestShardedPoisson:
-    @pytest.mark.skipif(
-        os.environ.get("RE_TPU_SLOW_TESTS") != "1",
-        reason="~10 min shard_map compile on the CPU mesh; "
-               "set RE_TPU_SLOW_TESTS=1 to run (halo correctness is "
-               "covered by the fast TestHaloExchange tests)",
+def _rand_gbuffer(rng, h, w):
+    # varied normals/depth so edge-stopping weights and fwidth paths are live
+    nrm = rng.uniform(-1, 1, size=(h, w, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    return GBuffer(
+        diffuse=jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32),
+        normal=jnp.asarray(nrm, jnp.float32),
+        roughness=jnp.asarray(rng.uniform(size=(h, w)), jnp.float32),
+        metalness=jnp.zeros((h, w), jnp.float32),
+        emissive=jnp.zeros((h, w, 3), jnp.float32),
+        depth=jnp.asarray(rng.uniform(0.3, 0.95, size=(h, w)), jnp.float32),
     )
-    def test_matches_single_device(self, mesh):
+
+
+class TestShardedPoisson:
+    def test_matches_single_device_exactly(self, mesh):
+        """Row-sharded Poisson denoise is bit-identical to single-chip:
+        per-pass halo exchange + global-row blue-noise phase."""
         rng = np.random.default_rng(1)
         h, w = 64, 48
         tex = jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32)
-        gb = GBuffer(
-            diffuse=jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32),
-            normal=jnp.asarray(
-                np.tile([0.0, 1.0, 0.0], (h, w, 1)), jnp.float32),
-            roughness=jnp.full((h, w), 0.5, jnp.float32),
-            metalness=jnp.zeros((h, w), jnp.float32),
-            emissive=jnp.zeros((h, w, 3), jnp.float32),
-            depth=jnp.full((h, w), 0.9, jnp.float32),
-        )
+        gb = _rand_gbuffer(rng, h, w)
         cfg = PoissonDenoiseConfig(iterations=1, radius=3.0)
         ref = poisson_denoise([tex], gb, jnp.int32(0), cfg)[0]
 
@@ -97,11 +99,98 @@ class TestShardedPoisson:
         out = poisson_denoise_sharded(
             [tex_s], gb_s, jnp.int32(0), cfg, mesh
         )[0]
-        # interiors must agree except where the blue-noise phase differs
-        # (the sharded pass sees a row-offset noise tile); compare the
-        # weight-independent alpha and overall statistics
+        # identical program modulo XLA float reassociation across the
+        # shard boundary fusion choices (observed max ~9e-5)
         np.testing.assert_allclose(
-            np.asarray(out[..., 3]), np.asarray(ref[..., 3]), atol=1e-5
+            np.asarray(out), np.asarray(ref), atol=2e-4
         )
-        assert abs(float(out[..., :3].mean()) - float(ref[..., :3].mean())) < 0.02
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_two_iterations_match(self, mesh):
+        """4 ping-pong passes: a later pass reads the previous pass's
+        output in the halo, so the per-pass re-exchange is load-bearing."""
+        rng = np.random.default_rng(2)
+        h, w = 32, 32
+        tex = jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32)
+        gb = _rand_gbuffer(rng, h, w)
+        cfg = PoissonDenoiseConfig(iterations=2, radius=2.0)
+        ref = poisson_denoise([tex], gb, jnp.int32(3), cfg)[0]
+        out = poisson_denoise_sharded(
+            [jax.device_put(tex, row_sharding(mesh))],
+            shard_pytree(gb, mesh), jnp.int32(3), cfg, mesh,
+        )[0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+class TestShardFrameFn:
+    def test_outputs_row_sharded_and_equal(self, mesh):
+        """shard_frame_fn constrains image outputs to row sharding and
+        preserves values (GSPMD inserts the halo collectives)."""
+        from realism_effects_tpu.parallel.sharding import shard_frame_fn
+
+        def stencil(x, scale):
+            up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+            dn = jnp.concatenate([x[1:], x[-1:]], axis=0)
+            return {"img": (up + x + dn) * scale, "count": jnp.float32(3.0)}
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(size=(64, 32, 3)), jnp.float32)
+        ref = stencil(x, jnp.float32(0.5))
+
+        fn = shard_frame_fn(stencil, mesh)
+        xs = jax.device_put(x, row_sharding(mesh))
+        out = fn(xs, jnp.float32(0.5))
+        np.testing.assert_allclose(
+            np.asarray(out["img"]), np.asarray(ref["img"]), atol=1e-6)
+        assert out["img"].sharding == row_sharding(mesh)
+        # scalar leaves come out replicated, not row-sharded
+        assert out["count"].sharding.is_fully_replicated
+
+
+class TestShardedTemporalReproject:
+    def test_gspmd_row_sharded_matches(self, mesh):
+        """Temporal reprojection under GSPMD row sharding == single chip.
+
+        Reprojection gathers history at arbitrary uv offsets, so its
+        multi-chip mapping is row-sharded compute over replicated read
+        textures (SURVEY §2.5) — the jit/GSPMD path, not halo exchange.
+        """
+        from realism_effects_tpu.core.camera import PerspectiveCamera
+        from realism_effects_tpu.core.framebuffers import VelocityBuffer
+        from realism_effects_tpu.ops.temporal_reproject import (
+            TemporalReprojectConfig, temporal_reproject,
+        )
+        from realism_effects_tpu.parallel.sharding import shard_frame_fn
+
+        rng = np.random.default_rng(4)
+        h, w = 64, 48
+        nrm = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (h, w, 1))
+        vel = VelocityBuffer(
+            velocity=jnp.asarray(
+                rng.uniform(-0.01, 0.01, size=(h, w, 2)), jnp.float32),
+            normal=jnp.asarray(nrm),
+            depth=jnp.asarray(rng.uniform(0.4, 0.9, size=(h, w)), jnp.float32),
+        )
+        inputs = [jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32)]
+        history = [jnp.asarray(rng.uniform(size=(h, w, 4)), jnp.float32)]
+        cam_obj = PerspectiveCamera(50, w / h, 0.1, 100)
+        cam_obj.set_position(0, 1, 4)
+        cam_obj.look_at((0, 0, 0))
+        cam = cam_obj.matrices()
+        cfg = TemporalReprojectConfig(texture_count=1)
+
+        def step(inp, hist, v):
+            return temporal_reproject(
+                [inp], [hist], v, v, cam, cam, cfg, max_blend=0.9,
+            )[0]
+
+        ref = np.asarray(step(inputs[0], history[0], vel))
+
+        fn = shard_frame_fn(step, mesh)
+        out = fn(
+            jax.device_put(inputs[0], row_sharding(mesh)),
+            jax.device_put(history[0], row_sharding(mesh)),
+            shard_pytree(vel, mesh),
+        )
+        assert out.sharding == row_sharding(mesh)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
