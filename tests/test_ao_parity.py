@@ -66,6 +66,8 @@ def np_bilinear(tex, uv):
     cl = lambda yy, xx: tex[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
     c00, c01 = cl(y0, x0), cl(y0, x0 + 1)
     c10, c11 = cl(y0 + 1, x0), cl(y0 + 1, x0 + 1)
+    if tex.ndim == 3:
+        fx, fy = fx[..., None], fy[..., None]
     top = c00 + (c01 - c00) * fx
     bot = c10 + (c11 - c10) * fx
     return top + (bot - top) * fy
