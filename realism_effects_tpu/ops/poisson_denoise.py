@@ -72,11 +72,16 @@ def poisson_denoise_pass(
     noise_index,
     cfg: PoissonDenoiseConfig,
     row_offset=0,
+    resolution: tuple | None = None,
 ):
     """One 8-tap pass over all texture slots. (H, W, 4) in/out per slot.
 
     ``row_offset``: global row of this block's first row (sharded blocks
-    pass it so the blue-noise phase matches the single-chip image)."""
+    pass it so the blue-noise phase matches the single-chip image).
+    ``resolution``: the *global* (H, W) the tap pattern is defined
+    against (`poisson_denoise.frag:190`: offsets are rotated in uv space,
+    so the pixel-space pattern depends on the full-image aspect); sharded
+    blocks pass the unsharded size, default is this block's own shape."""
     h, w = gbuffer.depth.shape
     uv = uv_grid(h, w)
     depth = gbuffer.depth
@@ -111,12 +116,17 @@ def poisson_denoise_pass(
             "acc": t_rgb,
         })
 
-    res = jnp.array([w, h], jnp.float32)
+    hg, wg = resolution if resolution is not None else (h, w)
     for k in range(8):
         off = POISSON8[k]
-        ox = (c * off[0] - s * off[1]) * rscale / w
-        oy = (s * off[0] + c * off[1]) * rscale / h
-        n_uv = uv + jnp.stack([ox, oy], axis=-1)
+        # neighborUv = vUv + rm * (offset / resolution) with
+        # rm = r * flatness * mat2(c, -s, s, c)  (`poisson_denoise.frag:185-190`);
+        # GLSL mat2 is column-major, so rm @ v = (c*vx + s*vy, -s*vx + c*vy),
+        # applied to the aspect-scaled *global* uv offset, then converted
+        # into this block's uv (identity when the block is the full image)
+        ox_g = (c * (off[0] / wg) + s * (off[1] / hg)) * rscale
+        oy_g = (-s * (off[0] / wg) + c * (off[1] / hg)) * rscale
+        n_uv = uv + jnp.stack([ox_g * wg / w, oy_g * hg / h], axis=-1)
 
         n_normal = sample_bilinear(normal, n_uv)
         n_depth = sample_bilinear(depth, n_uv)
@@ -168,6 +178,7 @@ def poisson_denoise(
     frame,
     cfg: PoissonDenoiseConfig,
     row_offset=0,
+    resolution: tuple | None = None,
 ):
     """Full denoise: 2*iterations sequential passes (the ping-pong A/B
     scheme of `PoissonDenoisePass.js:135-149` expressed as a loop carry).
@@ -176,7 +187,7 @@ def poisson_denoise(
     for p in range(2 * cfg.iterations):
         out = poisson_denoise_pass(
             out, gbuffer, jnp.asarray(frame) * 2 * cfg.iterations + p, cfg,
-            row_offset=row_offset,
+            row_offset=row_offset, resolution=resolution,
         )
     return out
 

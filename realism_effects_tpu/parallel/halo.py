@@ -34,21 +34,31 @@ def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str = ROW_AXIS):
     ``x``: the device-local (H_loc, W[, C]) block inside shard_map.
     Returns (H_loc + 2*halo, ...); at the global top/bottom edge the halo
     is edge-replicated (matching the single-chip clamp-to-edge stencils).
+    Supports halos larger than the shard height via multiple ppermute
+    hops (ceil(halo / H_loc) per side).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
+    h_loc = x.shape[0]
+    hops = -(-halo // h_loc)
 
-    # bottom rows of the previous device / top rows of the next
+    # gather the 2*hops+1 neighboring blocks [idx-hops .. idx+hops]
+    # (ring-wrapped; wrapped rows are replaced by edge clamping below)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
-    from_prev = jax.lax.ppermute(x[-halo:], axis_name, fwd)
-    from_next = jax.lax.ppermute(x[:halo], axis_name, bwd)
+    parts, prev, nxt = [x], x, x
+    for _ in range(hops):
+        prev = jax.lax.ppermute(prev, axis_name, fwd)
+        parts.insert(0, prev)
+        nxt = jax.lax.ppermute(nxt, axis_name, bwd)
+        parts.append(nxt)
+    ext_all = jnp.concatenate(parts, axis=0)
 
-    top_edge = jnp.broadcast_to(x[:1], (halo,) + x.shape[1:])
-    bot_edge = jnp.broadcast_to(x[-1:], (halo,) + x.shape[1:])
-    top = jnp.where(idx == 0, top_edge, from_prev)
-    bot = jnp.where(idx == n - 1, bot_edge, from_next)
-    return jnp.concatenate([top, x, bot], axis=0)
+    # desired global rows, clamped to the image (global clamp-to-edge),
+    # re-based onto ext_all whose first row is global (idx - hops) * h_loc
+    g = idx * h_loc + jnp.arange(-halo, h_loc + halo)
+    g = jnp.clip(g, 0, n * h_loc - 1)
+    return ext_all[g - (idx - hops) * h_loc]
 
 
 def _crop(x: jnp.ndarray, halo: int):
@@ -57,7 +67,7 @@ def _crop(x: jnp.ndarray, halo: int):
 
 @functools.lru_cache(maxsize=32)
 def _poisson_sharded_fn(n_tex: int, gb_treedef, cfg: PoissonDenoiseConfig,
-                        mesh: Mesh):
+                        mesh: Mesh, resolution: tuple):
     """Build + jit the sharded Poisson program (cached per config/mesh).
 
     The jit wrapper matters: dispatching a shard_map eagerly compiles its
@@ -65,7 +75,11 @@ def _poisson_sharded_fn(n_tex: int, gb_treedef, cfg: PoissonDenoiseConfig,
     (~3 s *per gather op*, ~8 min for the full kernel) than compiling the
     identical program under jit (<1 s).
     """
-    halo = int(np.ceil(cfg.radius)) + 2  # max tap offset + bilinear footprint
+    hg, wg = resolution
+    # tap offsets rotate in global uv space (`poisson_denoise.frag:190`),
+    # so the vertical pixel reach is bounded by radius * hypot(1, H/W);
+    # +2 covers the bilinear footprint and rounding
+    halo = int(np.ceil(cfg.radius * float(np.hypot(1.0, hg / wg)))) + 2
     n_passes = 2 * cfg.iterations
     n_gb = gb_treedef.num_leaves
 
@@ -84,7 +98,7 @@ def _poisson_sharded_fn(n_tex: int, gb_treedef, cfg: PoissonDenoiseConfig,
             ext = [halo_exchange_rows(t, halo) for t in texs]
             out = poisson_denoise_pass(
                 ext, gb_ext, frame * n_passes + p, cfg,
-                row_offset=row0,
+                row_offset=row0, resolution=resolution,
             )
             texs = [_crop(t, halo) for t in out]
         return tuple(texs)
@@ -103,14 +117,16 @@ def poisson_denoise_sharded(textures, gbuffer, frame, cfg: PoissonDenoiseConfig,
 
     **Bit-identical** (up to f32 reassociation) to
     :func:`ops.poisson_denoise.poisson_denoise`: each of the
-    ``2 * iterations`` ping-pong passes re-exchanges ``ceil(radius)+2``
-    boundary rows (a later pass reads the *previous pass's* output in the
-    halo, so one up-front exchange is not enough), and the blue-noise
-    phase is evaluated at global pixel coordinates via ``row_offset`` so
-    every shard reproduces the single-chip noise image.
+    ``2 * iterations`` ping-pong passes re-exchanges its halo rows (a
+    later pass reads the *previous pass's* output in the halo, so one
+    up-front exchange is not enough), the tap pattern is evaluated
+    against the global resolution, and the blue-noise phase is evaluated
+    at global pixel coordinates via ``row_offset`` so every shard
+    reproduces the single-chip noise image.
     """
     gb_leaves, gb_treedef = jax.tree_util.tree_flatten(gbuffer)
-    fn = _poisson_sharded_fn(len(textures), gb_treedef, cfg, mesh)
+    resolution = (int(textures[0].shape[0]), int(textures[0].shape[1]))
+    fn = _poisson_sharded_fn(len(textures), gb_treedef, cfg, mesh, resolution)
     return list(fn(jnp.asarray(frame, jnp.int32), *textures, *gb_leaves))
 
 

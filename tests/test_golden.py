@@ -37,7 +37,7 @@ def _render(frames=6, size=96):
     c.add_effect(TRAAEffect())
     img = None
     for _ in range(frames):
-        img = np.asarray(c.render())
+        img = np.asarray(c.render(dt=1 / 60))  # pinned dt: deterministic blur
     return img
 
 
