@@ -213,8 +213,8 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
                 a = jnp.where(page[None, None, :] >= 0, a * tex_a, a)
             opaque = a >= 0.9999
             # first still frame: hard cut; later: softening-ramp dither
-            # (`GBufferMaterial.js:63-79`)
-            a_step = (a > 0.5).astype(jnp.float32)
+            # (`GBufferMaterial.js:63-79`; GLSL step(0.5, a) is 1 at 0.5)
+            a_step = (a >= 0.5).astype(jnp.float32)
             ramp = 1.0 / (cnmf * 0.1 + 1.0)
             a_soft = a + (a_step - a) * ramp
             hard_pass = a >= 0.5

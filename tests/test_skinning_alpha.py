@@ -109,9 +109,11 @@ class TestStochasticAlpha:
         m = cam.matrices()
         packed = scene.pack()
         dither = blue_noise_image(128, 128, jnp.int32(0))[..., 0]
+        # long-still camera: the convergence ramp has relaxed to the true
+        # alpha (`GBufferMaterial.js:63-79`), so coverage ~ 0.5
         gb = rasterize_gbuffer(packed, scene.model_matrices(),
                                m.projection_view_matrix, 128, 128,
-                               dither=dither)
+                               dither=dither, cnmf=jnp.float32(1000.0))
         # full coverage without dither
         gb_full = rasterize_gbuffer(packed, scene.model_matrices(),
                                     m.projection_view_matrix, 128, 128)
@@ -120,6 +122,12 @@ class TestStochasticAlpha:
         assert cov_full > 0.3
         ratio = cov / cov_full
         assert 0.35 < ratio < 0.65, f"alpha 0.5 coverage ratio {ratio}"
+        # first still frame (camera just moved): hard 0.5 cut keeps full
+        # coverage for alpha == 0.5
+        gb0 = rasterize_gbuffer(packed, scene.model_matrices(),
+                                m.projection_view_matrix, 128, 128,
+                                dither=dither, cnmf=jnp.float32(0.0))
+        assert (np.asarray(gb0.depth) < 1).mean() / cov_full > 0.99
 
     def test_transparency_converges_under_taa(self):
         """Accumulated transparent surface shows a blend of box and floor."""
