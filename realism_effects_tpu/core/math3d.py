@@ -106,6 +106,18 @@ def orthographic_depth_to_view_z(depth, near, far):
     return depth * (near - far) - near
 
 
+def depth_to_view_z(depth, cam):
+    """Depth-buffer value -> view-space z, dispatching on the projection
+    type like the reference's PERSPECTIVE_CAMERA define
+    (`ssgi_utils.frag:7-13`, `hbao_utils.glsl:10-16`). The branch is read
+    off the projection matrix itself: a perspective projection maps
+    clip-w from -z (``P[3, 2] == -1``), an orthographic one maps w = 1
+    (``P[3, 2] == 0``)."""
+    persp = perspective_depth_to_view_z(depth, cam.near, cam.far)
+    ortho = orthographic_depth_to_view_z(depth, cam.near, cam.far)
+    return jnp.where(cam.projection_matrix[3, 2] != 0.0, persp, ortho)
+
+
 def view_z_to_perspective_depth(view_z, near, far):
     """Inverse of :func:`perspective_depth_to_view_z`."""
     return ((near * far) / view_z + far) / (far - near)

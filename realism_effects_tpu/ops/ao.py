@@ -212,7 +212,7 @@ def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
     world_pos = screen_to_world(
         uv, depth, cam.camera_matrix_world, cam.projection_matrix_inverse
     )
-    view_z = jnp.abs(math3d.perspective_depth_to_view_z(depth, cam.near, cam.far))
+    view_z = jnp.abs(math3d.depth_to_view_z(depth, cam))
 
     n_samples = cfg.spp if cfg.spp > 0 else 16
     vogel = jnp.asarray(
@@ -238,7 +238,7 @@ def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
         sample_depth = sample_bilinear(depth, sample_uv)
         sample_normal = _depth_world_normals_at(depth, sample_uv, cam)
         sample_view_z = jnp.abs(
-            math3d.perspective_depth_to_view_z(sample_depth, cam.near, cam.far)
+            math3d.depth_to_view_z(sample_depth, cam)
         )
         depth_diff = jnp.maximum(0.0, view_z - sample_view_z) ** 4.0
         normal_dot = math3d.dot(normal, sample_normal)

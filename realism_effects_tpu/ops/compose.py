@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.math3d import mix, perspective_depth_to_view_z
+from ..core.math3d import depth_to_view_z, mix
 
 
 def ao_compose(color: jnp.ndarray, ao: jnp.ndarray, depth: jnp.ndarray,
@@ -34,7 +34,7 @@ def ssgi_compose(gi_color: jnp.ndarray, scene_color: jnp.ndarray,
     (`ssgi_compose.frag:20-44`; the 0.4 viewZ factor reproduced)."""
     out = jnp.where(depth[..., None] >= 1.0, scene_color, gi_color)
     if fog_color is not None and fog_density > 0.0 and cam is not None:
-        view_z = perspective_depth_to_view_z(depth, cam.near, cam.far) * 0.4
+        view_z = depth_to_view_z(depth, cam) * 0.4
         fog_depth = -view_z
         fog_factor = 1.0 - jnp.exp(
             -fog_density * fog_density * fog_depth * fog_depth

@@ -34,7 +34,7 @@ def denoiser_compose(
     diffuse = gbuffer.diffuse[..., :3]
     emissive = gbuffer.emissive
 
-    view_z = math3d.perspective_depth_to_view_z(depth, cam.near, cam.far)
+    view_z = math3d.depth_to_view_z(depth, cam)
     view_pos = math3d.get_view_position(
         uv, view_z, cam.projection_matrix, cam.projection_matrix_inverse
     )

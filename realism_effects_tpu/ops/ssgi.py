@@ -54,8 +54,8 @@ class SSGIConfig:
 
 
 def _get_view_z(depth, cam):
-    """`ssgi_utils.frag:7-13` (perspective)."""
-    return math3d.perspective_depth_to_view_z(depth, cam.near, cam.far)
+    """`ssgi_utils.frag:7-13` (perspective/orthographic dispatch)."""
+    return math3d.depth_to_view_z(depth, cam)
 
 
 def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,

@@ -90,7 +90,7 @@ def _validate_reprojected_uv(reproj_uv, depth, world_pos, world_normal,
     )
 
     view_z = jnp.abs(
-        math3d.perspective_depth_to_view_z(depth, cam.near, cam.far)
+        math3d.depth_to_view_z(depth, cam)
     )
     dist_factor = 1.0 + 1.0 / (view_z + 1.0)
 
