@@ -8,10 +8,23 @@ here (the reference's is broken and unexported — SURVEY.md §2.1).
 
 from __future__ import annotations
 
+from ..core.framebuffers import GBuffer
+from ..core.math3d import uv_grid
+from ..core.sampling import sample_nearest
 from ..ops.ao import AOConfig, gtao, hbao
 from ..ops.compose import ao_compose
 from ..ops.poisson_denoise import PoissonDenoiseConfig, poisson_denoise_ao
 from .base import Effect
+
+
+def dataclasses_replace_gbuffer(gb: GBuffer, lo_uv) -> GBuffer:
+    """Nearest-downsampled G-buffer for the scaled AO pass."""
+    r = lambda t: sample_nearest(t, lo_uv)
+    return GBuffer(
+        diffuse=r(gb.diffuse), normal=r(gb.normal),
+        roughness=r(gb.roughness), metalness=r(gb.metalness),
+        emissive=r(gb.emissive), depth=r(gb.depth),
+    )
 
 
 class AOEffect(Effect):
@@ -27,7 +40,8 @@ class AOEffect(Effect):
                  denoise_iterations: int = 1, radius: float = 3.0,
                  phi: float = 0.5, luma_phi: float = 5.0,
                  depth_phi: float = 2.0, normal_phi: float = 3.25,
-                 animated_noise: bool = True):
+                 animated_noise: bool = True,
+                 resolution_scale: float = 1.0):
         self.cfg = AOConfig(
             spp=spp, distance=distance, distance_power=distance_power,
             bias=bias, thickness=thickness, animated_noise=animated_noise,
@@ -39,9 +53,14 @@ class AOEffect(Effect):
         )
         self.power = power
         self.color = tuple(color)
+        #: AO pass at a scaled render size, denoise/compose at full size —
+        #: `defaultAOOptions.resolutionScale` (`AOEffect.js:8-21`,
+        #: `AOPass` setSize scaling vs `AOEffect.js:139`)
+        self.resolution_scale = float(resolution_scale)
 
     def static_key(self):
-        return (self.kind, self.cfg, self.denoise_cfg, self.color)
+        return (self.kind, self.cfg, self.denoise_cfg, self.color,
+                self.resolution_scale)
 
     def uniforms(self):
         return {"power": float(self.power)}
@@ -50,7 +69,20 @@ class AOEffect(Effect):
         raise NotImplementedError
 
     def apply(self, ctx, color, state):
-        normal, ao = self._ao(ctx)
+        if self.resolution_scale < 1.0:
+            from ..core.sampling import sample_bilinear
+
+            h, w = ctx.gbuffer.depth.shape
+            h2 = max(int(h * self.resolution_scale), 8)
+            w2 = max(int(w * self.resolution_scale), 8)
+            lo_uv = uv_grid(h2, w2)
+            gb_lo = dataclasses_replace_gbuffer(ctx.gbuffer, lo_uv)
+            ctx_lo = ctx.replace(gbuffer=gb_lo)
+            normal_lo, ao_lo = self._ao(ctx_lo)
+            ao = sample_bilinear(ao_lo, uv_grid(h, w))
+            normal = sample_nearest(normal_lo, uv_grid(h, w))
+        else:
+            normal, ao = self._ao(ctx)
         if self.denoise_cfg.iterations > 0:
             ao = poisson_denoise_ao(
                 ao, normal, ctx.gbuffer, ctx.frame_index, self.denoise_cfg

@@ -159,3 +159,38 @@ class TestAOEffects:
         img = np.asarray(withao.render())
         assert img.mean() <= base.mean() + 1e-5
         assert img.mean() < base.mean() * 0.999
+
+
+class TestAOResolutionScale:
+    def test_scaled_ao_matches_full_roughly(self):
+        """resolutionScale (`AOEffect.js:8-21`): AO at half size, denoise
+        and compose at full size; result stays close to the full-res AO."""
+        import numpy as np
+        from realism_effects_tpu import (
+            EffectComposer, HBAOEffect, Material, PerspectiveCamera, Scene,
+            make_box, make_plane, translation,
+        )
+
+        def render(scale):
+            scene = Scene()
+            scene.add(make_plane(12, Material(diffuse=(0.7, 0.7, 0.7, 1.0))))
+            box = scene.add(
+                make_box((1, 1, 1), Material(diffuse=(0.7, 0.7, 0.7, 1.0))))
+            box.set_matrix(translation(0, 0.5, 0))
+            cam = PerspectiveCamera(50, 1, 0.1, 100)
+            cam.set_position(2.5, 2, 3)
+            cam.look_at((0, 0.4, 0))
+            c = EffectComposer(scene, cam, 96, 96)
+            c.add_effect(HBAOEffect(spp=8, resolution_scale=scale))
+            img = None
+            for _ in range(2):
+                img = np.asarray(c.render(dt=1 / 60))
+            return img
+
+        full = render(1.0)
+        half = render(0.5)
+        assert np.isfinite(half).all()
+        # both show occlusion; the scaled pass is a coarser estimate with
+        # a different blue-noise realization, so compare loosely
+        assert np.abs(full - half).mean() < 0.12
+        assert half.min() < full.max()
