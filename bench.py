@@ -21,6 +21,7 @@ sync after each stage, so their sum slightly exceeds the pipelined total.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -75,12 +76,31 @@ def build_config(n: int):
     h, w = sizes[n]
     scene = Scene()
     scene.environment = build_equirect_env(procedural_sky(64, 128))
-    scene.add(make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
-    box = scene.add(make_box((1, 1, 1), Material(diffuse=(0.9, 0.3, 0.2, 1.0))))
-    box.set_matrix(translation(0, 0.5, 0))
-    sph = scene.add(make_sphere(0.6, material=Material(
-        diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.2, metalness=0.8)))
-    sph.set_matrix(translation(1.5, 0.6, 0.5))
+    if n == 1:
+        # BASELINE config 1 prescribes a demo glTF scene: round-trip the
+        # procedural fixture through the GLB writer/loader
+        import tempfile
+
+        from realism_effects_tpu.scene.gltf import load_gltf, write_glb
+
+        plane = make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0)))
+        box = make_box((1, 1, 1), Material(diffuse=(0.9, 0.3, 0.2, 1.0)))
+        box.set_matrix(translation(0, 0.5, 0))
+        sph = make_sphere(0.6, material=Material(
+            diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.2, metalness=0.8))
+        sph.set_matrix(translation(1.5, 0.6, 0.5))
+        path = os.path.join(tempfile.gettempdir(), "re_tpu_bench.glb")
+        write_glb([plane, box, sph], path)
+        for m in load_gltf(path):
+            scene.add(m)
+        box = scene.meshes[1]
+    else:
+        scene.add(make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
+        box = scene.add(make_box((1, 1, 1), Material(diffuse=(0.9, 0.3, 0.2, 1.0))))
+        box.set_matrix(translation(0, 0.5, 0))
+        sph = scene.add(make_sphere(0.6, material=Material(
+            diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.2, metalness=0.8)))
+        sph.set_matrix(translation(1.5, 0.6, 0.5))
     cam = PerspectiveCamera(50, w / h, 0.1, 100)
     cam.set_position(3, 2.5, 4)
     cam.look_at((0, 0.5, 0))
