@@ -163,7 +163,10 @@ class SparkleEffect(Effect):
         noise = mix(mix(d0, d1, f[..., 0]), mix(d2, d3, f[..., 0]), f[..., 1])
         noise = jnp.maximum(noise, 0.0) ** (500.0 * u["spread"])
 
-        lum = math3d.luminance(color)
+        # sparkle uses Rec.601 weights, unlike the other kernels
+        # (`SparkleEffect.js:5`: dot(c, vec3(0.299, 0.587, 0.114)))
+        lum = (color[..., 0] * 0.299 + color[..., 1] * 0.587
+               + color[..., 2] * 0.114)
         lum = smoothstep(0.15, 1.0, lum)
 
         sparkle = noise * lum * facing * dist_factor * 5000.0 * u["intensity"]
