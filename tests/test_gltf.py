@@ -105,3 +105,75 @@ class TestReferenceAssets:
     def test_draco_assets_raise_clearly(self):
         with pytest.raises(ValueError, match="Draco|extensions"):
             load_gltf(self.REF)
+
+
+class TestGltfJsonVariant:
+    def test_gltf_json_with_data_uri_buffer(self, tmp_path):
+        """.gltf (JSON) files with base64 data-URI buffers load too."""
+        import base64
+        import json
+        import struct
+
+        positions = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        normals = np.tile(np.array([[0, 0, 1]], np.float32), (3, 1))
+        indices = np.array([0, 1, 2], np.uint16)
+        blob = positions.tobytes() + normals.tobytes() + indices.tobytes()
+        gltf = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0, "translation": [1, 2, 3]}],
+            "meshes": [{"primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2,
+            }]}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3,
+                 "type": "VEC3"},
+                {"bufferView": 1, "componentType": 5126, "count": 3,
+                 "type": "VEC3"},
+                {"bufferView": 2, "componentType": 5123, "count": 3,
+                 "type": "SCALAR"},
+            ],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 72, "byteLength": 6},
+            ],
+            "buffers": [{
+                "byteLength": len(blob),
+                "uri": "data:application/octet-stream;base64,"
+                       + base64.b64encode(blob).decode(),
+            }],
+        }
+        path = str(tmp_path / "tri.gltf")
+        with open(path, "w") as f:
+            json.dump(gltf, f)
+        (mesh,) = load_gltf(path)
+        np.testing.assert_allclose(mesh.positions, positions)
+        np.testing.assert_array_equal(mesh.faces, [[0, 1, 2]])
+        np.testing.assert_allclose(mesh.matrix_world[:3, 3], [1, 2, 3])
+
+    def test_external_buffer_file(self, tmp_path):
+        import json
+
+        positions = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], np.float32)
+        (tmp_path / "tri.bin").write_bytes(positions.tobytes())
+        gltf = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+            "accessors": [{"bufferView": 0, "componentType": 5126,
+                           "count": 3, "type": "VEC3"}],
+            "bufferViews": [{"buffer": 0, "byteOffset": 0, "byteLength": 36}],
+            "buffers": [{"byteLength": 36, "uri": "tri.bin"}],
+        }
+        path = str(tmp_path / "tri.gltf")
+        with open(path, "w") as f:
+            json.dump(gltf, f)
+        (mesh,) = load_gltf(path)
+        np.testing.assert_allclose(mesh.positions, positions)
+        # no NORMAL attribute: face normals computed (+z for this winding)
+        np.testing.assert_allclose(mesh.normals, [[0, 0, 1]] * 3, atol=1e-6)
