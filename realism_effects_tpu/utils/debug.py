@@ -33,6 +33,19 @@ def visualize_gbuffer(gbuffer: GBuffer, mode: str) -> jnp.ndarray:
         return gbuffer.emissive
     if mode == "depth":
         return gbuffer.depth[..., None].repeat(3, axis=-1)
+    if mode == "mesh_id":
+        # per-mesh selection plane (Selection-layers analog); hashed to
+        # distinct hues, background black
+        mid = gbuffer.mesh_id
+        if mid is None:
+            raise ValueError("this GBuffer carries no mesh_id plane")
+        t = mid.astype(jnp.float32)
+        rgb = jnp.stack([
+            jnp.mod(t * 0.6180339887, 1.0),
+            jnp.mod(t * 0.7548776662 + 0.33, 1.0),
+            jnp.mod(t * 0.5698402910 + 0.66, 1.0),
+        ], axis=-1)
+        return jnp.where((mid >= 0)[..., None], rgb * 0.8 + 0.2, 0.0)
     raise ValueError(f"unknown gbuffer debug mode: {mode}")
 
 
