@@ -202,8 +202,28 @@ def run_breakdown():
     }))
 
 
+def _warn_if_loaded():
+    """The frame loop is host-dispatch-bound: concurrent CPU load inflates
+    measured times several-fold. Flag it (stderr; stdout stays one JSON
+    line for the driver)."""
+    import sys
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+    except OSError:
+        return
+    if load1 > 0.5 * ncpu:
+        print(
+            f"[bench] WARNING: 1-min loadavg {load1:.1f} on {ncpu} CPUs — "
+            "concurrent load inflates these host-bound timings several-fold; "
+            "re-run on an idle machine for comparable numbers.",
+            file=sys.stderr,
+        )
+
+
 def main():
     import sys
+    _warn_if_loaded()
     if "--config" in sys.argv:
         run_config(int(sys.argv[sys.argv.index("--config") + 1]))
         return
