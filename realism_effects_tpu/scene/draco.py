@@ -438,9 +438,12 @@ class _Connectivity:
                 vertex_n = t.cv[_next(corner_b)]
                 self.is_vert_hole[vertex_n] = False
                 c = t.leftmost[vertex_n]
+                start = c
                 while c >= 0:
                     t.cv[c] = vertex_p
                     c = t.swing_right(c)
+                    if c == start:
+                        break
                 t.leftmost[vertex_p] = t.leftmost[vertex_n]
                 self.active_stack[-1] = corner
             else:
@@ -450,13 +453,6 @@ class _Connectivity:
                 act = self.active_stack[-1]
                 reg = _next(act) if edge == 1 else _prev(act)
                 self.split_corners[spl_id] = reg
-            # attribute seams: one bit per already-connected edge
-            if self.num_attribute_data:
-                for c in (corner, corner + 1, corner + 2):
-                    if t.opposite[c] >= 0:
-                        for a, dec in enumerate(seam_decoders):
-                            if dec.bit():
-                                self.seam_corners[a].append(c)
         # remaining active boundaries: interior start faces or holes
         while self.active_stack:
             corner_a = self.active_stack.pop()
@@ -486,12 +482,805 @@ class _Connectivity:
             self.is_vert_hole[vert_a] = False
             self.is_vert_hole[vert_b] = False
             self.is_vert_hole[vert_c] = False
-            if self.num_attribute_data:
-                for c in (corner, corner + 1, corner + 2):
-                    for a, dec in enumerate(seam_decoders):
-                        if dec.bit():
-                            self.seam_corners[a].append(c)
         if face != self.num_faces:
             raise DracoError(
                 f"face count mismatch: replay {face} != {self.num_faces}")
+        # attribute seams: one bit per attribute per interior edge, in
+        # face order, each edge decoded at its lower-id face
+        if self.num_attribute_data:
+            for f in range(self.num_faces):
+                for c in (3 * f, 3 * f + 1, 3 * f + 2):
+                    o = t.opposite[c]
+                    if o < 0 or o // 3 < f:
+                        continue
+                    for a, dec in enumerate(seam_decoders):
+                        if dec.bit():
+                            self.seam_corners[a].append(c)
         return t
+
+
+# ---------------------------------------------------------------------------
+# Attribute corner table (seams split vertices into wedge sectors)
+# ---------------------------------------------------------------------------
+
+class AttributeCornerTable:
+    """Corner table view where seam edges act as boundaries
+    (Draco MeshAttributeCornerTable): corners at a mesh vertex separated
+    by seams map to distinct attribute vertices."""
+
+    def __init__(self, table: CornerTable, seam_corners, num_real_vertices):
+        n = len(table.cv)
+        self.opposite = table.opposite.copy()
+        # seam edge = edge opposite a seam corner; cut both directions
+        for c in seam_corners:
+            o = self.opposite[c]
+            if o >= 0:
+                self.opposite[o] = -1
+            self.opposite[c] = -1
+        # recompute per-corner attribute vertices: one id per contiguous
+        # fan sector (walk each real vertex's corners, splitting at cuts)
+        self.cv = np.full(n, -1, np.int64)
+        visited = np.zeros(n, bool)
+        next_id = 0
+        for c0 in range(n):
+            if visited[c0] or table.cv[c0] < 0:
+                continue
+            # rewind CCW (swing left) to the sector start (or full loop)
+            c = c0
+            while True:
+                o = self.opposite[_next(c)]
+                if o < 0:
+                    break
+                c = _next(o)
+                if c == c0:
+                    break
+            # sweep CW (swing right) assigning this sector's id
+            start = c
+            vid = next_id
+            next_id += 1
+            while True:
+                visited[c] = True
+                self.cv[c] = vid
+                o = self.opposite[_prev(c)]
+                if o < 0:
+                    break
+                c = _prev(o)
+                if c == start:
+                    break
+        self.num_vertices = next_id
+        self._boundary = None
+
+    def is_on_boundary(self, v_array):
+        if self._boundary is None:
+            b = np.zeros(self.num_vertices, bool)
+            for c in range(len(self.cv)):
+                if self.opposite[_next(c)] < 0 or self.opposite[_prev(c)] < 0:
+                    b[self.cv[c]] = True
+            self._boundary = b
+        return self._boundary[v_array]
+
+
+class RealTableView:
+    """Adapter giving CornerTable the same duck-type as
+    AttributeCornerTable for the traversers/predictors."""
+
+    def __init__(self, table: CornerTable, num_vertices):
+        self.opposite = table.opposite
+        self.cv = table.cv
+        self.num_vertices = num_vertices
+        self._boundary = None
+
+    def is_on_boundary(self, v_array):
+        if self._boundary is None:
+            b = np.zeros(self.num_vertices, bool)
+            for c in range(len(self.cv)):
+                if self.opposite[_next(c)] < 0:
+                    b[self.cv[c]] = True
+                if self.opposite[_prev(c)] < 0:
+                    b[self.cv[c]] = True
+            self._boundary = b
+        return self._boundary[v_array]
+
+
+def _swing_right(opposite, c):
+    o = opposite[_prev(c)]
+    return -1 if o < 0 else _prev(o)
+
+
+def _swing_left(opposite, c):
+    o = opposite[_next(c)]
+    return -1 if o < 0 else _next(o)
+
+
+# ---------------------------------------------------------------------------
+# Depth-first traversal (Draco DepthFirstTraverser): produces the order
+# in which attribute values were encoded
+# ---------------------------------------------------------------------------
+
+def depth_first_traverse(view, seed_corners):
+    """Returns (value_to_corner, vertex_to_value): encoding order of
+    attribute vertices. Mirrors Draco's DepthFirstTraverser seeded from
+    the EdgeBreaker processing corners."""
+    opposite = view.opposite
+    cv = view.cv
+    num_faces = len(cv) // 3
+    face_visited = np.zeros(num_faces, bool)
+    vert_visited = np.zeros(view.num_vertices, bool)
+    value_to_corner = []
+    vertex_to_value = np.full(view.num_vertices, -1, np.int64)
+
+    def on_vertex(v, corner):
+        vertex_to_value[v] = len(value_to_corner)
+        value_to_corner.append(corner)
+
+    boundary = view.is_on_boundary(np.arange(view.num_vertices))
+
+    for seed in seed_corners:
+        if face_visited[seed // 3]:
+            continue
+        stack = [seed]
+        nv = cv[_next(seed)]
+        pv = cv[_prev(seed)]
+        if not vert_visited[nv]:
+            vert_visited[nv] = True
+            on_vertex(nv, _next(seed))
+        if not vert_visited[pv]:
+            vert_visited[pv] = True
+            on_vertex(pv, _prev(seed))
+        while stack:
+            corner = stack[-1]
+            if corner < 0 or face_visited[corner // 3]:
+                stack.pop()
+                continue
+            while True:
+                face_visited[corner // 3] = True
+                vert = cv[corner]
+                if not vert_visited[vert]:
+                    vert_visited[vert] = True
+                    on_vertex(vert, corner)
+                    if not boundary[vert]:
+                        # interior: keep walking right
+                        # (GetRightCorner = Opposite(Next(corner)))
+                        corner = opposite[_next(corner)]
+                        continue
+                right = opposite[_next(corner)]
+                left = opposite[_prev(corner)]
+                right_vis = right < 0 or face_visited[right // 3]
+                left_vis = left < 0 or face_visited[left // 3]
+                if right_vis and left_vis:
+                    stack.pop()
+                    break
+                if right_vis:
+                    corner = left
+                elif left_vis:
+                    corner = right
+                else:
+                    stack[-1] = left
+                    stack.append(right)
+                    break
+    return value_to_corner, vertex_to_value
+
+
+# ---------------------------------------------------------------------------
+# Prediction transforms
+# ---------------------------------------------------------------------------
+
+class WrapTransform:
+    """Draco PredictionSchemeWrapDecodingTransform: signed (zigzag)
+    corrections added to the clamped prediction, single wrap into
+    [min, max] (so a -1 step across the full range costs 1 bit)."""
+
+    def __init__(self, buf: Buffer, num_components):
+        self.min = np.int64(struct.unpack_from("<i", buf.data, buf.pos)[0])
+        self.max = np.int64(struct.unpack_from("<i", buf.data, buf.pos + 4)[0])
+        buf.pos += 8
+        self.dif = self.max - self.min + 1
+
+    corrections_positive = False
+
+    def original(self, pred, corr):
+        pred = np.clip(pred, self.min, self.max)
+        v = pred + corr
+        v = np.where(v > self.max, v - self.dif, v)
+        v = np.where(v < self.min, v + self.dif, v)
+        return v
+
+
+class DeltaTransform:
+    """PredictionSchemeTransform (DELTA): signed corrections, plain add."""
+
+    def __init__(self, buf: Buffer, num_components):
+        pass
+
+    corrections_positive = False
+
+    def original(self, pred, corr):
+        return pred + corr
+
+
+def _trunc_div2(x: int) -> int:
+    """C++ integer division by 2 (truncates toward zero)."""
+    return -((-x) // 2) if x < 0 else x // 2
+
+
+class OctahedronCanonicalizedTransform:
+    """PredictionSchemeNormalOctahedronCanonicalizedTransform:
+    2-component octahedral coords; out-of-diamond predictions inverted,
+    non-bottom-left predictions rotated into the canonical quadrant,
+    positive corrections folded by ModMax."""
+
+    corrections_positive = True
+
+    def __init__(self, buf: Buffer, num_components):
+        self.max_quantized = struct.unpack_from("<i", buf.data, buf.pos)[0]
+        self.center = struct.unpack_from("<i", buf.data, buf.pos + 4)[0]
+        buf.pos += 8
+        # ModMax folds by max_quantized_value itself (odd alphabet
+        # centered on center_value), not max+1
+        self.n = self.max_quantized
+
+    def _mod_max(self, x):
+        if x > self.center:
+            return x - self.n
+        if x < -self.center:
+            return x + self.n
+        return x
+
+    @staticmethod
+    def _rotate(s, t, count):
+        count %= 4
+        if count == 1:
+            return t, -s
+        if count == 2:
+            return -s, -t
+        if count == 3:
+            return -t, s
+        return s, t
+
+    @staticmethod
+    def _rotation_count(s, t):
+        if s == 0:
+            if t == 0:
+                return 0
+            return 3 if t > 0 else 1
+        if s > 0:
+            return 2 if t >= 0 else 1
+        return 3 if t > 0 else 0
+
+    @staticmethod
+    def _in_bottom_left(s, t):
+        if s == 0 and t == 0:
+            return True
+        return s < 0 and t <= 0
+
+    def _in_diamond(self, s, t):
+        return abs(s) + abs(t) <= self.center
+
+    def _invert_diamond(self, s, t):
+        if s >= 0 and t >= 0:
+            sign_s, sign_t = 1, 1
+        elif s <= 0 and t <= 0:
+            sign_s, sign_t = -1, -1
+        else:
+            sign_s = 1 if s > 0 else -1
+            sign_t = 1 if t > 0 else -1
+        corner_s = sign_s * self.center
+        corner_t = sign_t * self.center
+        us = 2 * s - corner_s
+        ut = 2 * t - corner_t
+        if sign_s * sign_t >= 0:
+            us, ut = -ut, -us
+        else:
+            us, ut = ut, us
+        return (_trunc_div2(us + corner_s), _trunc_div2(ut + corner_t))
+
+    def original_value(self, pred_s, pred_t, corr_s, corr_t):
+        c = self.center
+        ps, pt = int(pred_s) - c, int(pred_t) - c
+        in_diamond = self._in_diamond(ps, pt)
+        if not in_diamond:
+            ps, pt = self._invert_diamond(ps, pt)
+        in_bottom_left = self._in_bottom_left(ps, pt)
+        rot = self._rotation_count(ps, pt)
+        if not in_bottom_left:
+            ps, pt = self._rotate(ps, pt, rot)
+        os_ = self._mod_max(ps + int(corr_s))
+        ot = self._mod_max(pt + int(corr_t))
+        if not in_bottom_left:
+            os_, ot = self._rotate(os_, ot, (4 - rot) % 4)
+        if not in_diamond:
+            os_, ot = self._invert_diamond(os_, ot)
+        return os_ + c, ot + c
+
+
+# ---------------------------------------------------------------------------
+# Prediction schemes (Draco PredictionSchemeMethod values)
+# ---------------------------------------------------------------------------
+
+PREDICTION_NONE = -2
+PREDICTION_DIFFERENCE = 0
+MESH_PREDICTION_PARALLELOGRAM = 1
+MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM = 4
+MESH_PREDICTION_TEX_COORDS_PORTABLE = 5
+MESH_PREDICTION_GEOMETRIC_NORMAL = 6
+
+TRANSFORM_DELTA = 0
+TRANSFORM_WRAP = 1
+TRANSFORM_NORMAL_OCTAHEDRON = 2
+TRANSFORM_NORMAL_OCTAHEDRON_CANONICALIZED = 3
+
+
+def _c_div(a: int, b: int) -> int:
+    """C++ integer division (truncates toward zero)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+class _SchemeState:
+    """Per-attribute context handed to prediction schemes."""
+
+    def __init__(self, view, value_to_corner, vertex_to_value, nc):
+        self.view = view
+        self.value_to_corner = value_to_corner
+        self.vertex_to_value = vertex_to_value
+        self.nc = nc
+
+
+def _predict_difference(corr, transform, st):
+    n = len(corr) // st.nc
+    nc = st.nc
+    out = np.zeros_like(corr)
+    if transform.__class__ is OctahedronCanonicalizedTransform:
+        zs, zt = transform.original_value(0, 0, corr[0], corr[1])
+        out[0], out[1] = zs, zt
+        for p in range(1, n):
+            s, t = transform.original_value(
+                out[(p - 1) * 2], out[(p - 1) * 2 + 1],
+                corr[p * 2], corr[p * 2 + 1])
+            out[p * 2], out[p * 2 + 1] = s, t
+        return out
+    out[:nc] = transform.original(np.zeros(nc, np.int64), corr[:nc])
+    for p in range(1, n):
+        out[p * nc:(p + 1) * nc] = transform.original(
+            out[(p - 1) * nc: p * nc], corr[p * nc:(p + 1) * nc])
+    return out
+
+
+def _parallelogram_entries(opp_corner, cv, vertex_to_value):
+    v_opp = vertex_to_value[cv[opp_corner]]
+    v_next = vertex_to_value[cv[_next(opp_corner)]]
+    v_prev = vertex_to_value[cv[_prev(opp_corner)]]
+    return v_opp, v_next, v_prev
+
+
+def _predict_parallelogram(corr, transform, st):
+    nc = st.nc
+    n = len(corr) // nc
+    out = np.zeros_like(corr)
+    cv = st.view.cv
+    opposite = st.view.opposite
+    v2v = st.vertex_to_value
+    out[:nc] = transform.original(np.zeros(nc, np.int64), corr[:nc])
+    for p in range(1, n):
+        corner = st.value_to_corner[p]
+        opp = opposite[corner]
+        pred = None
+        if opp >= 0:
+            v_opp, v_next, v_prev = _parallelogram_entries(opp, cv, v2v)
+            if 0 <= v_opp < p and 0 <= v_next < p and 0 <= v_prev < p:
+                pred = (out[v_next * nc:(v_next + 1) * nc].astype(np.int64)
+                        + out[v_prev * nc:(v_prev + 1) * nc]
+                        - out[v_opp * nc:(v_opp + 1) * nc])
+        if pred is None:
+            pred = out[(p - 1) * nc: p * nc]
+        out[p * nc:(p + 1) * nc] = transform.original(pred, corr[p * nc:(p + 1) * nc])
+    return out
+
+
+_MAX_PARALLELOGRAMS = 4
+
+
+def _predict_constrained_multi(corr, transform, st, crease_bits):
+    """MeshPredictionSchemeConstrainedMultiParallelogram: up to 4
+    parallelograms per entry, selection flags per parallelogram-count
+    context (bit true = crease = unused)."""
+    nc = st.nc
+    n = len(corr) // nc
+    out = np.zeros_like(corr)
+    cv = st.view.cv
+    opposite = st.view.opposite
+    v2v = st.vertex_to_value
+    pos = [0] * _MAX_PARALLELOGRAMS
+    out[:nc] = transform.original(np.zeros(nc, np.int64), corr[:nc])
+    preds = np.zeros((_MAX_PARALLELOGRAMS, nc), np.int64)
+    for p in range(1, n):
+        first_corner = st.value_to_corner[p]
+        corner = first_corner
+        num_parallelograms = 0
+        while corner >= 0 and num_parallelograms < _MAX_PARALLELOGRAMS:
+            opp = opposite[corner]
+            if opp >= 0:
+                v_opp, v_next, v_prev = _parallelogram_entries(opp, cv, v2v)
+                if 0 <= v_opp < p and 0 <= v_next < p and 0 <= v_prev < p:
+                    preds[num_parallelograms] = (
+                        out[v_next * nc:(v_next + 1) * nc].astype(np.int64)
+                        + out[v_prev * nc:(v_prev + 1) * nc]
+                        - out[v_opp * nc:(v_opp + 1) * nc])
+                    num_parallelograms += 1
+            corner = _swing_right(opposite, corner)
+            if corner == first_corner:
+                break
+        total = np.zeros(nc, np.int64)
+        num_used = 0
+        if num_parallelograms > 0:
+            ctx = num_parallelograms - 1
+            bits = crease_bits[ctx]
+            for i in range(num_parallelograms):
+                is_crease = bits[pos[ctx]]
+                pos[ctx] += 1
+                if not is_crease:
+                    num_used += 1
+                    total += preds[i]
+        if num_used:
+            pred = np.array([_c_div(int(total[c]), num_used)
+                             for c in range(nc)], np.int64)
+        else:
+            pred = out[(p - 1) * nc: p * nc]
+        out[p * nc:(p + 1) * nc] = transform.original(pred, corr[p * nc:(p + 1) * nc])
+    return out
+
+
+def _predict_tex_coords_portable(corr, transform, st, orientations,
+                                 entry_to_point, pos_for_point):
+    """MeshPredictionSchemeTexCoordsPortable: UV from the projection of
+    the tip position onto the opposite edge, integer arithmetic, one
+    orientation bit per predictable entry."""
+    import math
+    nc = st.nc
+    assert nc == 2
+    n = len(corr) // nc
+    out = np.zeros_like(corr)
+    cv = st.view.cv
+    v2v = st.vertex_to_value
+    ori_pos = len(orientations)
+
+    def pos_of_entry(e):
+        return pos_for_point[entry_to_point[e]]
+
+    for p in range(n):
+        corner = st.value_to_corner[p]
+        next_e = v2v[cv[_next(corner)]]
+        prev_e = v2v[cv[_prev(corner)]]
+        pred = None
+        if 0 <= next_e < p and 0 <= prev_e < p:
+            n_uv = out[next_e * 2: next_e * 2 + 2].astype(np.int64)
+            p_uv = out[prev_e * 2: prev_e * 2 + 2].astype(np.int64)
+            if p_uv[0] == n_uv[0] and p_uv[1] == n_uv[1]:
+                pred = p_uv
+            else:
+                tip_pos = pos_of_entry(p)
+                next_pos = pos_of_entry(next_e)
+                prev_pos = pos_of_entry(prev_e)
+                pn = prev_pos - next_pos
+                pn_norm2 = int(pn @ pn)
+                if pn_norm2 != 0:
+                    cn = tip_pos - next_pos
+                    cn_dot_pn = int(pn @ cn)
+                    pn_uv = p_uv - n_uv
+                    x_uv = n_uv * pn_norm2 + cn_dot_pn * pn_uv
+                    x_pos = next_pos + np.array(
+                        [_c_div(cn_dot_pn * int(pn[i]), pn_norm2)
+                         for i in range(3)], np.int64)
+                    d = tip_pos - x_pos
+                    cx_norm2 = int(d @ d)
+                    s = math.isqrt(cx_norm2 * pn_norm2)
+                    perp_uv = np.array([pn_uv[1], -pn_uv[0]], np.int64)
+                    nonlocal_ori = orientations[ori_pos - 1] if ori_pos > 0 else True
+                    ori_pos -= 1
+                    if nonlocal_ori:
+                        v = x_uv + perp_uv * s
+                    else:
+                        v = x_uv - perp_uv * s
+                    pred = np.array([_c_div(int(v[0]), pn_norm2),
+                                     _c_div(int(v[1]), pn_norm2)], np.int64)
+                else:
+                    pred = p_uv
+        if pred is None:
+            if p == 0:
+                pred = np.zeros(2, np.int64)
+            else:
+                pred = out[(p - 1) * 2: p * 2]
+        out[p * 2:(p + 1) * 2] = transform.original(pred, corr[p * 2:(p + 1) * 2])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sequential attribute decoders + top-level decode
+# ---------------------------------------------------------------------------
+
+SEQ_GENERIC = 0
+SEQ_INTEGER = 1
+SEQ_QUANTIZATION = 2
+SEQ_NORMALS = 3
+
+ATT_POSITION = 0
+ATT_NORMAL = 1
+ATT_COLOR = 2
+ATT_TEX_COORD = 3
+ATT_GENERIC = 4
+
+
+class _AttributeDesc:
+    def __init__(self, att_type, data_type, nc, normalized, unique_id,
+                 seq_type):
+        self.att_type = att_type
+        self.data_type = data_type
+        self.nc = nc
+        self.normalized = normalized
+        self.unique_id = unique_id
+        self.seq_type = seq_type
+
+
+def _decode_raw_integers(buf: Buffer, num_values: int) -> np.ndarray:
+    """Uncompressed path of SequentialIntegerAttributeDecoder."""
+    num_bytes = buf.u8()
+    out = np.zeros(num_values, np.uint32)
+    for i in range(num_values):
+        v = 0
+        for b in range(num_bytes):
+            v |= buf.u8() << (8 * b)
+        out[i] = v
+    return out
+
+
+def _decode_attribute_values(buf: Buffer, desc: _AttributeDesc, st,
+                             entry_to_point, pos_for_point):
+    """SequentialIntegerAttributeDecoder::DecodeValues: prediction
+    method/transform bytes, symbols, prediction data, reconstruction.
+    Returns int32 values flattened (num_entries * nc_out,)."""
+    num_entries = len(st.value_to_corner)
+    nc = 2 if desc.seq_type == SEQ_NORMALS else desc.nc
+    st.nc = nc
+    method = buf.i8()
+    transform_type = buf.i8() if method != PREDICTION_NONE else None
+
+    compressed = buf.u8()
+    if compressed:
+        symbols = decode_symbols(buf, num_entries * nc, nc)
+    else:
+        symbols = _decode_raw_integers(buf, num_entries * nc)
+
+    # prediction data (scheme-specific first, then transform data)
+    crease_bits = None
+    orientations = None
+    if method == MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM:
+        crease_bits = []
+        for i in range(_MAX_PARALLELOGRAMS):
+            num_flags = buf.varint()
+            bits = np.zeros(num_flags, bool)
+            if num_flags > 0:
+                dec = RAnsBitDecoder(buf)
+                for f in range(num_flags):
+                    bits[f] = dec.bit()
+            crease_bits.append(bits)
+    elif method == MESH_PREDICTION_TEX_COORDS_PORTABLE:
+        num_orientations = buf.u32()
+        orientations = np.zeros(num_orientations, bool)
+        last = True
+        dec = RAnsBitDecoder(buf)
+        for i in range(num_orientations):
+            if not dec.bit():
+                last = not last
+            orientations[i] = last
+    elif method not in (PREDICTION_NONE, PREDICTION_DIFFERENCE,
+                        MESH_PREDICTION_PARALLELOGRAM):
+        raise DracoError(f"unsupported prediction method {method}")
+
+    if method == PREDICTION_NONE:
+        vals = _symbols_to_signed(symbols)
+        return vals, None
+
+    if transform_type == TRANSFORM_WRAP:
+        transform = WrapTransform(buf, nc)
+    elif transform_type == TRANSFORM_DELTA:
+        transform = DeltaTransform(buf, nc)
+    elif transform_type == TRANSFORM_NORMAL_OCTAHEDRON_CANONICALIZED:
+        transform = OctahedronCanonicalizedTransform(buf, nc)
+    else:
+        raise DracoError(f"unsupported prediction transform {transform_type}")
+
+    corr = (symbols.astype(np.int64) if transform.corrections_positive
+            else _symbols_to_signed(symbols))
+
+    if method == PREDICTION_DIFFERENCE:
+        vals = _predict_difference(corr, transform, st)
+    elif method == MESH_PREDICTION_PARALLELOGRAM:
+        vals = _predict_parallelogram(corr, transform, st)
+    elif method == MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM:
+        vals = _predict_constrained_multi(corr, transform, st, crease_bits)
+    elif method == MESH_PREDICTION_TEX_COORDS_PORTABLE:
+        vals = _predict_tex_coords_portable(
+            corr, transform, st, orientations, entry_to_point, pos_for_point)
+    return vals, transform
+
+
+def _oct_to_unit(vals2: np.ndarray, bits: int) -> np.ndarray:
+    """Octahedral ints (N, 2) in [0, 2^bits - 1] -> unit vectors (N, 3).
+    Draco OctahedronToolBox::QuantizedOctahedralCoordsToUnitVector."""
+    max_value = (1 << bits) - 1
+    s = vals2[:, 0].astype(np.float64) * (2.0 / max_value) - 1.0
+    t = vals2[:, 1].astype(np.float64) * (2.0 / max_value) - 1.0
+    x = 1.0 - np.abs(s) - np.abs(t)
+    neg = x < 0
+    sign_s = np.where(s >= 0, 1.0, -1.0)
+    sign_t = np.where(t >= 0, 1.0, -1.0)
+    y = np.where(neg, (1.0 - np.abs(t)) * sign_s, s)
+    z = np.where(neg, (1.0 - np.abs(s)) * sign_t, t)
+    v = np.stack([x, y, z], -1)
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    return (v / np.maximum(n, 1e-30)).astype(np.float32)
+
+
+def decode(data: bytes) -> DecodedMesh:
+    """Decode a Draco triangular-mesh bitstream (KHR_draco_mesh_compression
+    payload) into faces + per-unique-id attribute arrays."""
+    buf = Buffer(data)
+    if buf.raw(5) != b"DRACO":
+        raise DracoError("bad magic")
+    vmaj, vmin = buf.u8(), buf.u8()
+    if (vmaj, vmin) < (2, 2):
+        raise DracoError(f"unsupported bitstream {vmaj}.{vmin}")
+    encoder_type = buf.u8()
+    method = buf.u8()
+    flags = buf.u16()
+    if encoder_type != 1:
+        raise DracoError("point clouds not supported")
+    if method != 1:
+        raise DracoError("sequential mesh encoding not supported")
+    if flags & 0x8000:
+        raise DracoError("metadata not supported")
+    traversal = buf.u8()
+    if traversal != 0:
+        raise DracoError(
+            f"only standard EdgeBreaker traversal supported (got {traversal})")
+
+    num_encoded_vertices = buf.varint()
+    num_faces = buf.varint()
+    num_attribute_data = buf.u8()
+    num_symbols = buf.varint()
+    num_split_symbols = buf.varint()
+
+    n_splits = buf.varint()
+    events = []
+    last_src = 0
+    for _ in range(n_splits):
+        src = last_src + buf.varint()
+        spl = src - buf.varint()
+        last_src = src
+        events.append([src, spl, 0])
+    if n_splits:
+        buf.start_bits(False)
+        for e in events:
+            e[2] = buf.bits(1)
+        buf.end_bits()
+
+    clers_size = buf.start_bits(True)
+    clers_start = buf.pos
+    symbols = np.zeros(num_symbols, np.int8)
+    for i in range(num_symbols):
+        b = buf.bits(1)
+        if b:
+            b |= buf.bits(2) << 1
+        symbols[i] = b
+    buf.pos = clers_start + clers_size
+    buf._bit_base = -1
+
+    start_faces = RAnsBitDecoder(buf)
+    seam_decoders = [RAnsBitDecoder(buf) for _ in range(num_attribute_data)]
+
+    conn = _Connectivity(num_faces, num_encoded_vertices, num_split_symbols,
+                         num_symbols, num_attribute_data)
+    table = conn.decode(symbols, [tuple(e) for e in events],
+                        start_faces, seam_decoders)
+
+    # ---- attribute decoder configs
+    num_att_decoders = buf.u8()
+    configs = []
+    for _ in range(num_att_decoders):
+        att_data_id = buf.i8()
+        decoder_type = buf.u8()
+        trav_method = buf.u8()
+        if trav_method != 0:
+            raise DracoError(
+                f"only depth-first attribute traversal supported "
+                f"(got {trav_method})")
+        configs.append((att_data_id, decoder_type))
+    decoders = []
+    for att_data_id, decoder_type in configs:
+        natt = buf.varint()
+        descs = []
+        for _ in range(natt):
+            att_type = buf.u8()
+            data_type = buf.i8()
+            nc = buf.u8()
+            normalized = buf.u8()
+            unique_id = buf.varint()
+            descs.append([att_type, data_type, nc, normalized, unique_id])
+        for d in descs:
+            d.append(buf.u8())  # sequential decoder type
+        decoders.append((att_data_id, decoder_type,
+                         [_AttributeDesc(*d) for d in descs]))
+
+    # ---- traversal views and corner -> point assembly
+    num_vertex_slots = conn.next_vert
+    real_view = RealTableView(table, num_vertex_slots)
+    att_views = {}
+    for att_data_id, decoder_type, descs in decoders:
+        if att_data_id >= 0:
+            att_views[att_data_id] = AttributeCornerTable(
+                table, conn.seam_corners[att_data_id], num_vertex_slots)
+
+    # seeds: face-creation (symbol) order, one corner per face
+    seed_corners = [3 * f for f in range(num_faces)]
+
+    # corner -> point: unique (vertex, per-attribute-data wedge) tuples
+    n_corners = 3 * num_faces
+    keys = np.empty((n_corners, 1 + len(att_views)), np.int64)
+    keys[:, 0] = table.cv
+    for j, (aid, view) in enumerate(sorted(att_views.items())):
+        keys[:, 1 + j] = view.cv
+    uniq, corner_to_point = np.unique(keys, axis=0, return_inverse=True)
+    num_points = len(uniq)
+    faces = corner_to_point.reshape(-1, 3).astype(np.int32)
+
+    # representative corner per point (for value lookups)
+    point_corner = np.zeros(num_points, np.int64)
+    point_corner[corner_to_point[::-1]] = np.arange(n_corners - 1, -1, -1)
+
+    # ---- decode each attributes-decoder block
+    attributes = {}
+    pos_portable_for_point = None   # portable (quantized) positions/point
+    for att_data_id, decoder_type, descs in decoders:
+        if att_data_id < 0:
+            view = real_view
+        else:
+            view = att_views[att_data_id]
+        value_to_corner, vertex_to_value = depth_first_traverse(
+            view, seed_corners)
+        st = _SchemeState(view, value_to_corner, vertex_to_value, 0)
+        # entry -> point (for cross-attribute prediction)
+        entry_to_point = corner_to_point[np.asarray(value_to_corner)]
+
+        vals_per_desc = []
+        for desc in descs:
+            vals, transform = _decode_attribute_values(
+                buf, desc, st, entry_to_point, pos_portable_for_point)
+            vals_per_desc.append((desc, vals))
+
+        # transform data needed by portable transforms (per controller,
+        # after all its portable attributes)
+        for desc, vals in vals_per_desc:
+            num_entries = len(value_to_corner)
+            # value per point
+            entry_of_point = vertex_to_value[view.cv[point_corner]]
+            if desc.seq_type == SEQ_QUANTIZATION:
+                mins = np.array([buf.f32() for _ in range(desc.nc)],
+                                np.float64)
+                rng = buf.f32()
+                bits = buf.u8()
+                arr = vals.reshape(num_entries, desc.nc).astype(np.float64)
+                delta = rng / ((1 << bits) - 1)
+                out = (mins[None, :] + arr * delta).astype(np.float32)
+                attributes[desc.unique_id] = out[entry_of_point]
+                if desc.att_type == ATT_POSITION:
+                    pos_portable_for_point = vals.reshape(
+                        num_entries, desc.nc).astype(np.int64)[entry_of_point]
+            elif desc.seq_type == SEQ_NORMALS:
+                bits = buf.u8()
+                arr = vals.reshape(num_entries, 2)
+                attributes[desc.unique_id] = _oct_to_unit(arr, bits)[entry_of_point]
+            else:  # INTEGER / GENERIC: raw ints
+                arr = vals.reshape(num_entries, desc.nc).astype(np.int32)
+                attributes[desc.unique_id] = arr[entry_of_point]
+
+    return DecodedMesh(faces, attributes, num_points)
