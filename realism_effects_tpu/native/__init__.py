@@ -102,3 +102,107 @@ def half_to_float(half_bits: np.ndarray) -> np.ndarray | None:
         half_bits.size,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Draco decoder (native/draco.cpp) — production path for
+# scene/draco.py's pure-Python reference implementation
+# ---------------------------------------------------------------------------
+
+_DRACO_SRC = os.path.join(_DIR, "draco.cpp")
+_DRACO_LIB = os.path.join(_DIR, "_draco.so")
+_draco_lock = threading.Lock()
+_draco_lib = None
+_draco_failed = False
+
+
+def _load_draco() -> ctypes.CDLL | None:
+    global _draco_lib, _draco_failed
+    with _draco_lock:
+        if _draco_lib is not None:
+            return _draco_lib
+        if _draco_failed:
+            return None
+        if not os.path.exists(_DRACO_LIB) or (
+            os.path.getmtime(_DRACO_LIB) < os.path.getmtime(_DRACO_SRC)
+        ):
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                     _DRACO_SRC, "-o", _DRACO_LIB],
+                    check=True, capture_output=True, timeout=240,
+                )
+            except (OSError, subprocess.SubprocessError):
+                _draco_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_DRACO_LIB)
+        except OSError:
+            _draco_failed = True
+            return None
+        lib.re_draco_decode.restype = ctypes.c_void_p
+        lib.re_draco_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p, ctypes.c_int]
+        lib.re_draco_num_points.restype = ctypes.c_longlong
+        lib.re_draco_num_points.argtypes = [ctypes.c_void_p]
+        lib.re_draco_num_faces.restype = ctypes.c_longlong
+        lib.re_draco_num_faces.argtypes = [ctypes.c_void_p]
+        lib.re_draco_faces.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.re_draco_faces.argtypes = [ctypes.c_void_p]
+        lib.re_draco_num_attributes.restype = ctypes.c_int
+        lib.re_draco_num_attributes.argtypes = [ctypes.c_void_p]
+        lib.re_draco_attribute_info.restype = None
+        lib.re_draco_attribute_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.re_draco_attribute_floats.restype = ctypes.POINTER(ctypes.c_float)
+        lib.re_draco_attribute_floats.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.re_draco_attribute_ints.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.re_draco_attribute_ints.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.re_draco_release.restype = None
+        lib.re_draco_release.argtypes = [ctypes.c_void_p]
+        _draco_lib = lib
+        return _draco_lib
+
+
+def draco_available() -> bool:
+    return _load_draco() is not None
+
+
+def draco_decode(data: bytes):
+    """Native Draco decode -> (faces (F,3) int32, {unique_id: array},
+    num_points), or None if the native library is unavailable.
+    Raises ValueError on malformed/unsupported bitstreams."""
+    lib = _load_draco()
+    if lib is None:
+        return None
+    err = ctypes.create_string_buffer(256)
+    handle = lib.re_draco_decode(data, len(data), err, 256)
+    if not handle:
+        raise ValueError(f"draco: {err.value.decode()}")
+    try:
+        num_points = lib.re_draco_num_points(handle)
+        num_faces = lib.re_draco_num_faces(handle)
+        faces = np.ctypeslib.as_array(
+            lib.re_draco_faces(handle), shape=(num_faces, 3)).copy()
+        attrs = {}
+        for i in range(lib.re_draco_num_attributes(handle)):
+            uid = ctypes.c_longlong()
+            nc = ctypes.c_int()
+            is_float = ctypes.c_int()
+            lib.re_draco_attribute_info(
+                handle, i, ctypes.byref(uid), ctypes.byref(nc),
+                ctypes.byref(is_float))
+            if is_float.value:
+                arr = np.ctypeslib.as_array(
+                    lib.re_draco_attribute_floats(handle, i),
+                    shape=(num_points, nc.value)).copy()
+            else:
+                arr = np.ctypeslib.as_array(
+                    lib.re_draco_attribute_ints(handle, i),
+                    shape=(num_points, nc.value)).copy()
+            attrs[int(uid.value)] = arr
+        return faces, attrs, int(num_points)
+    finally:
+        lib.re_draco_release(handle)

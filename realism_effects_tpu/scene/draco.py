@@ -1024,12 +1024,14 @@ class _AttributeDesc:
 def _decode_raw_integers(buf: Buffer, num_values: int) -> np.ndarray:
     """Uncompressed path of SequentialIntegerAttributeDecoder."""
     num_bytes = buf.u8()
+    if num_bytes > 8:
+        raise DracoError("raw integer width too large")
     out = np.zeros(num_values, np.uint32)
     for i in range(num_values):
         v = 0
         for b in range(num_bytes):
             v |= buf.u8() << (8 * b)
-        out[i] = v
+        out[i] = v & 0xFFFFFFFF
     return out
 
 
@@ -1121,9 +1123,30 @@ def _oct_to_unit(vals2: np.ndarray, bits: int) -> np.ndarray:
     return (v / np.maximum(n, 1e-30)).astype(np.float32)
 
 
-def decode(data: bytes) -> DecodedMesh:
+def decode(data: bytes, prefer_native: bool = True) -> DecodedMesh:
     """Decode a Draco triangular-mesh bitstream (KHR_draco_mesh_compression
-    payload) into faces + per-unique-id attribute arrays."""
+    payload) into faces + per-unique-id attribute arrays.
+
+    Uses the C++ decoder (``native/draco.cpp``, ctypes) when a toolchain
+    is available; this module's pure-Python implementation is the
+    fallback and the cross-check (the two are bit-identical,
+    ``tests/test_draco.py``)."""
+    if prefer_native:
+        try:
+            from .. import native
+            result = native.draco_decode(data)
+        except ValueError as e:
+            raise DracoError(str(e)) from e
+        except Exception:
+            result = None
+        if result is not None:
+            faces, attrs, num_points = result
+            return DecodedMesh(faces, attrs, num_points)
+    return decode_py(data)
+
+
+def decode_py(data: bytes) -> DecodedMesh:
+    """Pure-Python reference decode path."""
     buf = Buffer(data)
     if buf.raw(5) != b"DRACO":
         raise DracoError("bad magic")
@@ -1229,7 +1252,14 @@ def decode(data: bytes) -> DecodedMesh:
     keys[:, 0] = table.cv
     for j, (aid, view) in enumerate(sorted(att_views.items())):
         keys[:, 1 + j] = view.cv
-    uniq, corner_to_point = np.unique(keys, axis=0, return_inverse=True)
+    uniq, first_idx, corner_to_point = np.unique(
+        keys, axis=0, return_index=True, return_inverse=True)
+    # renumber points in first-encounter (corner) order so the native
+    # C++ decoder (hash map over corners) produces identical output
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(len(order), np.int64)
+    rank[order] = np.arange(len(order))
+    corner_to_point = rank[corner_to_point]
     num_points = len(uniq)
     faces = corner_to_point.reshape(-1, 3).astype(np.int32)
 
