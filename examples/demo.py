@@ -116,6 +116,38 @@ def build_scene(name: str):
         cam.look_at((0, 0.5, 0))
         animate = None
 
+    elif name == "sponza" or name.startswith("asset:"):
+        # the reference's `?ao` inspection scene (`main.js:299-302`
+        # loads gltf/sponza...glb) — or any glTF via `asset:<path>`;
+        # Draco-compressed assets decode through scene/draco.py
+        from realism_effects_tpu.scene.gltf import load_gltf
+
+        if name == "sponza":
+            path = ("/root/reference/example/public/gltf/"
+                    "sponza_no_textures.optimized.glb")
+        else:
+            path = name.split(":", 1)[1]
+        for m in load_gltf(path):
+            scene.add(m)
+        scene.sun_intensity = 1.4
+        lo = np.min([m.positions.min(0) + m.matrix_world[:3, 3]
+                     for m in scene.visible_meshes()], 0)
+        hi = np.max([m.positions.max(0) + m.matrix_world[:3, 3]
+                     for m in scene.visible_meshes()], 0)
+        scale = np.abs(np.asarray(
+            scene.visible_meshes()[0].matrix_world)[:3, :3]).max()
+        lo, hi = lo * scale, hi * scale
+        center = (lo + hi) / 2
+        cam = PerspectiveCamera(55, 1, 0.05 * (hi - lo).max() / 20,
+                                (hi - lo).max() * 4)
+        if name == "sponza":
+            cam.set_position(8.0, 2.2, -0.5)
+            cam.look_at((-6.0, 3.0, 0.0))
+        else:
+            cam.set_position(*(center + (hi - lo) * [0.45, 0.3, 0.75]))
+            cam.look_at(tuple(center))
+        animate = None
+
     elif name == "dynamic":
         scene.add(make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))
         box = scene.add(make_box((1, 1, 1), Material(
@@ -171,7 +203,8 @@ def build_effects(names, aa: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="showcase",
-                    choices=["showcase", "traa_test", "ao", "dynamic"])
+                    help="showcase | traa_test | ao | gltf | dynamic | "
+                         "sponza | asset:<path-to-glb>")
     ap.add_argument("--effects", default="ssgi,hbao")
     ap.add_argument("--aa", default="traa", choices=["traa", "taa", "none"])
     ap.add_argument("--frames", type=int, default=60)

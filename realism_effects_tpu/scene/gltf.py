@@ -13,11 +13,18 @@ GLTFLoader). This loader covers the subset the framework renders:
   converted into an ``alpha_map`` whose green channel carries alpha,
   matching `GBufferMaterial.js:57-61` semantics)
 
-Out of scope (raises/skips with a warning): Draco/meshopt compression
-(the reference's `example/public` assets are Draco-compressed; no decoder
-ships in this environment), skins/morphs via glTF (the native Mesh API
-supports both directly), KHR extensions, sparse accessors, non-triangle
-modes.
+Supported extensions (everything the reference's own demo assets use):
+
+- ``KHR_draco_mesh_compression`` via the from-scratch decoder in
+  ``scene/draco.py`` / ``native/draco.cpp`` — all 18 reference .glb
+  scenes (`example/public/gltf/`) load end-to-end
+- ``EXT_texture_webp`` (PIL decodes WebP)
+- ``KHR_texture_transform`` (offset/rotation/scale baked into UVs at
+  load; per-texture ``texCoord`` set selection incl. TEXCOORD_1)
+
+Out of scope (raises/skips with a warning): meshopt compression,
+skins/morphs via glTF (the native Mesh API supports both directly),
+other KHR extensions, sparse accessors, non-triangle modes.
 
 ``write_glb`` exports Mesh lists back to a valid minimal GLB — used to
 generate the committed demo fixture and for loader round-trip tests.
@@ -143,12 +150,36 @@ def _texture_image(gltf, buffers, base_dir, tex_info, cache):
     if tex_info is None:
         return None
     tex = gltf["textures"][tex_info["index"]]
-    src = tex.get("source")
+    # EXT_texture_webp stores the real image in the extension
+    src = tex.get("extensions", {}).get(
+        "EXT_texture_webp", {}).get("source", tex.get("source"))
     if src is None:
         return None
     if src not in cache:
         cache[src] = _decode_image(gltf, buffers, base_dir, src)
     return cache[src]
+
+
+def _texture_uv_config(tex_info):
+    """(texcoord_set, 3x3 uv matrix or None) for a textureInfo, per
+    KHR_texture_transform (uv' = T(offset) @ R(-rotation) @ S(scale))."""
+    if tex_info is None:
+        return 0, None
+    texcoord = tex_info.get("texCoord", 0)
+    tr = tex_info.get("extensions", {}).get("KHR_texture_transform")
+    if tr is None:
+        return texcoord, None
+    texcoord = tr.get("texCoord", texcoord)
+    off = tr.get("offset", [0.0, 0.0])
+    rot = tr.get("rotation", 0.0)
+    scale = tr.get("scale", [1.0, 1.0])
+    c, s = np.cos(rot), np.sin(rot)
+    m = np.array([
+        [c * scale[0], s * scale[1], off[0]],
+        [-s * scale[0], c * scale[1], off[1]],
+        [0.0, 0.0, 1.0],
+    ])
+    return texcoord, m
 
 
 def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
@@ -237,12 +268,13 @@ def load_gltf(path: str) -> list[Mesh]:
     else:
         gltf, bin_chunk = json.loads(data), None
 
-    required = gltf.get("extensionsRequired", [])
-    if required:
+    supported = {"KHR_draco_mesh_compression", "KHR_texture_transform",
+                 "EXT_texture_webp"}
+    unsupported = [e for e in gltf.get("extensionsRequired", [])
+                   if e not in supported]
+    if unsupported:
         raise ValueError(
-            f"glTF requires unsupported extensions: {required} "
-            "(Draco/meshopt-compressed assets cannot be decoded here)"
-        )
+            f"glTF requires unsupported extensions: {unsupported}")
 
     buffers = _load_buffers(gltf, bin_chunk, base_dir)
     image_cache: dict = {}
@@ -257,19 +289,56 @@ def load_gltf(path: str) -> list[Mesh]:
                     warnings.warn("skipping non-triangle primitive")
                     continue
                 attrs = prim["attributes"]
-                pos = _accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
-                if "indices" in prim:
-                    idx = _accessor(gltf, buffers, prim["indices"])
-                    faces = idx.reshape(-1, 3).astype(np.int32)
+                draco_ext = prim.get("extensions", {}).get(
+                    "KHR_draco_mesh_compression")
+                uv_sets: dict[int, np.ndarray] = {}
+                if draco_ext is not None:
+                    from .draco import decode as draco_decode
+                    view = gltf["bufferViews"][draco_ext["bufferView"]]
+                    buf = buffers[view["buffer"]]
+                    start = view.get("byteOffset", 0)
+                    decoded = draco_decode(
+                        bytes(buf[start:start + view["byteLength"]]))
+                    ids = draco_ext["attributes"]  # name -> draco uid
+                    pos = np.asarray(
+                        decoded.attributes[ids["POSITION"]], np.float32)
+                    faces = decoded.faces.astype(np.int32)
+                    nrm = (np.asarray(decoded.attributes[ids["NORMAL"]],
+                                      np.float32)
+                           if "NORMAL" in ids else _face_normals(pos, faces))
+                    for name, uid in ids.items():
+                        if name.startswith("TEXCOORD_"):
+                            uv_sets[int(name.split("_")[1])] = np.asarray(
+                                decoded.attributes[uid], np.float32)
                 else:
-                    faces = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
-                if "NORMAL" in attrs:
-                    nrm = _accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
-                else:
-                    nrm = _face_normals(pos, faces)
+                    pos = _accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
+                    if "indices" in prim:
+                        idx = _accessor(gltf, buffers, prim["indices"])
+                        faces = idx.reshape(-1, 3).astype(np.int32)
+                    else:
+                        faces = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
+                    if "NORMAL" in attrs:
+                        nrm = _accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
+                    else:
+                        nrm = _face_normals(pos, faces)
+                    for name, acc in attrs.items():
+                        if name.startswith("TEXCOORD_"):
+                            uv_sets[int(name.split("_")[1])] = _accessor(
+                                gltf, buffers, acc).astype(np.float32)
+                # pick the uv set the base-color texture samples, and
+                # bake any KHR_texture_transform into it
+                mat_idx = prim.get("material")
+                tex_info = None
+                if mat_idx is not None:
+                    tex_info = gltf["materials"][mat_idx].get(
+                        "pbrMetallicRoughness", {}).get("baseColorTexture")
+                texcoord_set, uv_matrix = _texture_uv_config(tex_info)
                 uvs = None
-                if "TEXCOORD_0" in attrs:
-                    uv = _accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+                uv = uv_sets.get(texcoord_set, uv_sets.get(0))
+                if uv is not None:
+                    if uv_matrix is not None:
+                        uv = (uv @ uv_matrix[:2, :2].T
+                              + uv_matrix[:2, 2]).astype(np.float32)
                     # glTF v runs top-down; flip to the framework's
                     # bottom-up convention (textures were flipped too)
                     uvs = np.stack([uv[..., 0], 1.0 - uv[..., 1]], -1)
