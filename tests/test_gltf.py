@@ -1,9 +1,10 @@
 """glTF loader / GLB writer tests.
 
 The reference loads glTF demo scenes through three.js
-(`example/main.js:760-809`); here ``load_gltf`` brings standard
-uncompressed glTF 2.0 assets into the Scene API (its Draco-compressed
-demo assets explicitly raise — no decoder in this environment).
+(`example/main.js:760-809`); here ``load_gltf`` brings glTF 2.0 assets
+into the Scene API, including the reference's own Draco-compressed
+demo scenes (decoded by `scene/draco.py` / `native/draco.cpp`; see
+test_draco.py for the decoder's own coverage).
 """
 
 import os
@@ -102,9 +103,13 @@ class TestReferenceAssets:
     REF = "/root/reference/example/public/gltf/flashbang_grenade.optimized.glb"
 
     @pytest.mark.skipif(not os.path.exists(REF), reason="reference absent")
-    def test_draco_assets_raise_clearly(self):
-        with pytest.raises(ValueError, match="Draco|extensions"):
-            load_gltf(self.REF)
+    def test_draco_assets_load(self):
+        """The reference's Draco-compressed demo assets load end-to-end
+        through scene/draco (was a hard error before the decoder)."""
+        meshes = load_gltf(self.REF)
+        assert len(meshes) == 8
+        assert sum(len(m.positions) for m in meshes) == 6277
+        assert all(m.material.map is not None for m in meshes)  # webp
 
 
 class TestGltfJsonVariant:
