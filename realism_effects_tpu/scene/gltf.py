@@ -22,8 +22,13 @@ Supported extensions (everything the reference's own demo assets use):
 - ``KHR_texture_transform`` (offset/rotation/scale baked into UVs at
   load; per-texture ``texCoord`` set selection incl. TEXCOORD_1)
 
+glTF skins wire into the native skinning path: JOINTS_0/WEIGHTS_0 plus
+the skin's inverseBindMatrices become ``Mesh.skin_indices/skin_weights/
+bone_matrices`` (bone j = globalJointTransform_j @ IBM_j, bind pose;
+animate via ``Mesh.set_bones``).
+
 Out of scope (raises/skips with a warning): meshopt compression,
-skins/morphs via glTF (the native Mesh API supports both directly),
+glTF animations/morphs (the native Mesh API supports both directly),
 other KHR extensions, sparse accessors, non-triangle modes.
 
 ``write_glb`` exports Mesh lists back to a valid minimal GLB — used to
@@ -280,6 +285,33 @@ def load_gltf(path: str) -> list[Mesh]:
     image_cache: dict = {}
     meshes: list[Mesh] = []
 
+    # global node transforms (for skin joints, which can sit anywhere
+    # in the hierarchy)
+    nodes = gltf.get("nodes", [])
+    node_global = [None] * len(nodes)
+
+    def global_of(i: int, _stack=()):
+        if node_global[i] is None:
+            parent = next((p for p, n in enumerate(nodes)
+                           if i in n.get("children", ())), None)
+            m = _node_matrix(nodes[i])
+            node_global[i] = (
+                m if parent is None else global_of(parent) @ m)
+        return node_global[i]
+
+    def skin_data(skin_index: int):
+        """(joints global @ IBM) bone palette for a glTF skin."""
+        skin = gltf["skins"][skin_index]
+        joints = skin["joints"]
+        if "inverseBindMatrices" in skin:
+            ibm = _accessor(gltf, buffers, skin["inverseBindMatrices"])
+            ibm = ibm.reshape(-1, 4, 4).transpose(0, 2, 1)  # column-major
+        else:
+            ibm = np.tile(np.eye(4), (len(joints), 1, 1))
+        return np.stack([
+            global_of(j) @ ibm[k] for k, j in enumerate(joints)
+        ]).astype(np.float32)
+
     def visit(node_index: int, parent: np.ndarray):
         node = gltf["nodes"][node_index]
         world = parent @ _node_matrix(node)
@@ -292,6 +324,7 @@ def load_gltf(path: str) -> list[Mesh]:
                 draco_ext = prim.get("extensions", {}).get(
                     "KHR_draco_mesh_compression")
                 uv_sets: dict[int, np.ndarray] = {}
+                joints = weights = None
                 if draco_ext is not None:
                     from .draco import decode as draco_decode
                     view = gltf["bufferViews"][draco_ext["bufferView"]]
@@ -310,6 +343,11 @@ def load_gltf(path: str) -> list[Mesh]:
                         if name.startswith("TEXCOORD_"):
                             uv_sets[int(name.split("_")[1])] = np.asarray(
                                 decoded.attributes[uid], np.float32)
+                    if "JOINTS_0" in ids and "WEIGHTS_0" in ids:
+                        joints = np.asarray(
+                            decoded.attributes[ids["JOINTS_0"]], np.int32)
+                        weights = np.asarray(
+                            decoded.attributes[ids["WEIGHTS_0"]], np.float32)
                 else:
                     pos = _accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
                     if "indices" in prim:
@@ -325,6 +363,11 @@ def load_gltf(path: str) -> list[Mesh]:
                         if name.startswith("TEXCOORD_"):
                             uv_sets[int(name.split("_")[1])] = _accessor(
                                 gltf, buffers, acc).astype(np.float32)
+                    if "JOINTS_0" in attrs and "WEIGHTS_0" in attrs:
+                        joints = _accessor(
+                            gltf, buffers, attrs["JOINTS_0"]).astype(np.int32)
+                        weights = _accessor(
+                            gltf, buffers, attrs["WEIGHTS_0"]).astype(np.float32)
                 # pick the uv set the base-color texture samples, and
                 # bake any KHR_texture_transform into it
                 mat_idx = prim.get("material")
@@ -349,7 +392,16 @@ def load_gltf(path: str) -> list[Mesh]:
                         prim.get("material"), image_cache),
                     uvs=uvs,
                 )
-                mesh.set_matrix(world)
+                if "skin" in node and joints is not None:
+                    # skinning replaces the node transform (glTF spec):
+                    # world pos = sum_j w_j (globalJoint_j @ IBM_j) @ pos
+                    wsum = np.maximum(weights.sum(-1, keepdims=True), 1e-9)
+                    mesh.skin_indices = joints
+                    mesh.skin_weights = (weights / wsum).astype(np.float32)
+                    mesh.bone_matrices = skin_data(node["skin"])
+                    mesh.set_matrix(np.eye(4))
+                else:
+                    mesh.set_matrix(world)
                 meshes.append(mesh)
         for child in node.get("children", []):
             visit(child, world)

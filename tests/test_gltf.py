@@ -182,3 +182,43 @@ class TestGltfJsonVariant:
         np.testing.assert_allclose(mesh.positions, positions)
         # no NORMAL attribute: face normals computed (+z for this winding)
         np.testing.assert_allclose(mesh.normals, [[0, 0, 1]] * 3, atol=1e-6)
+
+
+class TestGltfSkins:
+    REF = "/root/reference/example/public/gltf/swordsman.optimized.glb"
+
+    @pytest.mark.skipif(not os.path.exists(REF), reason="reference absent")
+    def test_skins_wire_into_native_skinning(self):
+        """glTF JOINTS_0/WEIGHTS_0 + inverseBindMatrices populate the
+        Mesh skinning fields (bone j = globalJoint_j @ IBM_j)."""
+        meshes = load_gltf(self.REF)
+        skinned = [m for m in meshes if m.skin_indices is not None]
+        assert len(skinned) == 5
+        for m in skinned:
+            assert m.skin_indices.shape == (len(m.positions), 4)
+            assert m.skin_weights.shape == (len(m.positions), 4)
+            np.testing.assert_allclose(m.skin_weights.sum(-1), 1.0, atol=1e-3)
+            assert m.skin_indices.max() < len(m.bone_matrices)
+            # bind pose must land near the static base mesh, not at the
+            # raw (unskinned) object-space coords
+            bm = m.bone_matrices[m.skin_indices]
+            w = m.skin_weights[:, :, None, None]
+            skin = (bm * w).sum(1)
+            pos = (np.einsum("vij,vj->vi", skin[:, :3, :3], m.positions)
+                   + skin[:, :3, 3])
+            assert np.abs(pos).max() < 10.0
+            assert np.isfinite(pos).all()
+
+    @pytest.mark.skipif(not os.path.exists(REF), reason="reference absent")
+    def test_skinned_scene_renders(self):
+        scene = Scene()
+        for m in load_gltf(self.REF):
+            scene.add(m)
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(3, 2.5, 4)
+        cam.look_at((0, 1.2, 0))
+        composer = EffectComposer(scene, cam, 64, 64)
+        composer.add_effect(HBAOEffect(spp=2))
+        img = np.asarray(composer.render(dt=1 / 60))
+        assert np.isfinite(img).all()
+        assert img.std() > 1e-4
