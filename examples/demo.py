@@ -130,21 +130,30 @@ def build_scene(name: str):
         for m in load_gltf(path):
             scene.add(m)
         scene.sun_intensity = 1.4
-        lo = np.min([m.positions.min(0) + m.matrix_world[:3, 3]
-                     for m in scene.visible_meshes()], 0)
-        hi = np.max([m.positions.max(0) + m.matrix_world[:3, 3]
-                     for m in scene.visible_meshes()], 0)
-        scale = np.abs(np.asarray(
-            scene.visible_meshes()[0].matrix_world)[:3, :3]).max()
-        lo, hi = lo * scale, hi * scale
+        corners = []
+        for m in scene.visible_meshes():
+            p = m.positions
+            if m.skin_indices is not None and m.bone_matrices is not None:
+                bm = m.bone_matrices[m.skin_indices]
+                w = m.skin_weights[:, :, None, None]
+                sk = (bm * w).sum(1)
+                p = np.einsum("vij,vj->vi", sk[:, :3, :3], p) + sk[:, :3, 3]
+            lo8, hi8 = p.min(0), p.max(0)
+            box = np.array([[x, y, z] for x in (lo8[0], hi8[0])
+                            for y in (lo8[1], hi8[1])
+                            for z in (lo8[2], hi8[2])])
+            mw = np.asarray(m.matrix_world)
+            corners.append(box @ mw[:3, :3].T + mw[:3, 3])
+        corners = np.concatenate(corners)
+        lo, hi = corners.min(0), corners.max(0)
         center = (lo + hi) / 2
-        cam = PerspectiveCamera(55, 1, 0.05 * (hi - lo).max() / 20,
-                                (hi - lo).max() * 4)
+        extent = float((hi - lo).max())
+        cam = PerspectiveCamera(55, 1, max(extent / 400, 1e-3), extent * 6)
         if name == "sponza":
             cam.set_position(8.0, 2.2, -0.5)
             cam.look_at((-6.0, 3.0, 0.0))
         else:
-            cam.set_position(*(center + (hi - lo) * [0.45, 0.3, 0.75]))
+            cam.set_position(*(center + (hi - lo) * [0.8, 0.45, 1.3]))
             cam.look_at(tuple(center))
         animate = None
 

@@ -31,6 +31,8 @@ Host responsibilities per frame (non-traced): camera jitter bookkeeping
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 
 import chex
@@ -128,10 +130,37 @@ def _unpack_camera(layout: UniformLayout, buf: jnp.ndarray, prefix: str
     )
 
 
+_COMPILE_CACHE_READY = False
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: big scenes (e.g. the 262k-triangle
+    Sponza) compile their raster scan in minutes the first time; caching
+    makes every later process start in seconds. Opt out with
+    RE_TPU_NO_COMPILE_CACHE=1."""
+    global _COMPILE_CACHE_READY
+    if _COMPILE_CACHE_READY or os.environ.get("RE_TPU_NO_COMPILE_CACHE"):
+        _COMPILE_CACHE_READY = True
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(tempfile.gettempdir(), "re_tpu_xla_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    _COMPILE_CACHE_READY = True
+
+
 class EffectComposer:
     """Drives the frame loop; owns effects, state, and host bookkeeping."""
 
     def __init__(self, scene: Scene, camera: Camera, width: int, height: int):
+        _enable_compile_cache()
         self.scene = scene
         self.camera = camera
         self.width = int(width)
