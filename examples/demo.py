@@ -120,14 +120,16 @@ def build_scene(name: str):
         # the reference's `?ao` inspection scene (`main.js:299-302`
         # loads gltf/sponza...glb) — or any glTF via `asset:<path>`;
         # Draco-compressed assets decode through scene/draco.py
-        from realism_effects_tpu.scene.gltf import load_gltf
+        from realism_effects_tpu.scene.animation import AnimationMixer
+        from realism_effects_tpu.scene.gltf import load_gltf_asset
 
         if name == "sponza":
             path = ("/root/reference/example/public/gltf/"
                     "sponza_no_textures.optimized.glb")
         else:
             path = name.split(":", 1)[1]
-        for m in load_gltf(path):
+        asset = load_gltf_asset(path)
+        for m in asset.meshes:
             scene.add(m)
         scene.sun_intensity = 1.4
         corners = []
@@ -156,6 +158,15 @@ def build_scene(name: str):
             cam.set_position(*(center + (hi - lo) * [0.8, 0.45, 1.3]))
             cam.look_at(tuple(center))
         animate = None
+        if asset.animations:
+            # play every clip, advanced at the frame rate — the
+            # reference's mixer loop (`main.js:949-957,629-632`)
+            mixer = AnimationMixer(asset)
+            for clip in asset.animations:
+                mixer.clip_action(clip).play()
+
+            def animate(frame: int):
+                mixer.set_time(frame / 60.0)
 
     elif name == "dynamic":
         scene.add(make_plane(24, Material(diffuse=(0.6, 0.6, 0.65, 1.0))))

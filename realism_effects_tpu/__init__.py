@@ -34,7 +34,8 @@ from .scene.geometry import (
     Material, Mesh, make_box, make_plane, make_sphere, rotation_x,
     rotation_y, scale, translation,
 )
-from .scene.gltf import load_gltf, write_glb
+from .scene.animation import AnimationClip, AnimationMixer
+from .scene.gltf import GltfAsset, load_gltf, load_gltf_asset, write_glb
 from .scene.rasterizer import rasterize_gbuffer, rasterize_velocity
 from .scene.scene import Scene
 from .scene.shading import shade_direct
@@ -59,7 +60,8 @@ __all__ = [
     "cube_to_equirect", "equirect_to_cube",
     "make_box", "make_plane", "make_sphere",
     "translation", "rotation_x", "rotation_y", "scale",
-    "rasterize_gbuffer", "shade_direct", "load_gltf", "write_glb",
+    "rasterize_gbuffer", "shade_direct", "load_gltf", "load_gltf_asset",
+    "GltfAsset", "AnimationMixer", "AnimationClip", "write_glb",
     "visualize_gbuffer", "visualize_velocity", "save_frame", "write_png",
     "SSGI_PRESETS",
 ]

@@ -27,8 +27,17 @@ the skin's inverseBindMatrices become ``Mesh.skin_indices/skin_weights/
 bone_matrices`` (bone j = globalJointTransform_j @ IBM_j, bind pose;
 animate via ``Mesh.set_bones``).
 
+Morph targets (``primitive.targets`` POSITION/NORMAL deltas with
+node/mesh default weights) feed ``Mesh.morph_positions/morph_normals``,
+and glTF animations (translation/rotation/scale/weights channels,
+LINEAR / STEP / CUBICSPLINE samplers) load into
+:class:`~.animation.AnimationClip` objects played by an
+:class:`~.animation.AnimationMixer` over the retained node hierarchy —
+the native analog of the reference example's three.js mixer usage
+(`/root/reference/example/main.js:949-957`). Use
+:func:`load_gltf_asset` to get the meshes *plus* the animation state.
+
 Out of scope (raises/skips with a warning): meshopt compression,
-glTF animations/morphs (the native Mesh API supports both directly),
 other KHR extensions, sparse accessors, non-triangle modes.
 
 ``write_glb`` exports Mesh lists back to a valid minimal GLB — used to
@@ -38,6 +47,7 @@ generate the committed demo fixture and for loader round-trip tests.
 from __future__ import annotations
 
 import base64
+import dataclasses
 import io
 import json
 import os
@@ -46,6 +56,7 @@ import warnings
 
 import numpy as np
 
+from .animation import AnimationChannel, AnimationClip, decompose_trs
 from .geometry import Material, Mesh
 
 _COMPONENT_DTYPES = {
@@ -261,10 +272,121 @@ def _face_normals(positions: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return (normals / np.maximum(norm, 1e-20)).astype(np.float32)
 
 
+@dataclasses.dataclass
+class GltfAsset:
+    """A loaded glTF document: meshes plus the retained node hierarchy
+    and animation clips (the loader-side analog of three.js' loaded
+    ``gltf.scene`` + ``gltf.animations``, `example/main.js:947-957`).
+
+    Node-local TRS state is mutable — an
+    :class:`~.animation.AnimationMixer` writes sampled keyframes into it
+    and calls :meth:`apply_node_transforms` to push the new globals into
+    the meshes (model matrices for static nodes, bone palettes for
+    skinned ones, morph weights for ``weights`` tracks)."""
+
+    meshes: list
+    animations: list
+    #: per-node local TRS (mutable animation targets)
+    node_translation: list
+    node_rotation: list
+    node_scale: list
+    node_parent: np.ndarray          #: (N,) int32, -1 = root
+    #: node index -> indices into ``meshes`` instantiated at that node
+    node_meshes: dict
+    node_skin: dict                  #: node index -> skin index
+    #: skin index -> (joint node indices, (J, 4, 4) inverse bind matrices)
+    skins: list
+    #: node index -> current morph weights (nodes with morphed meshes)
+    node_weights: dict
+
+    def global_transforms(self) -> np.ndarray:
+        """(N, 4, 4) global node matrices from the current local TRS."""
+        from .animation import compose_trs
+        n = len(self.node_translation)
+        out = np.zeros((n, 4, 4))
+        done = np.zeros(n, bool)
+
+        def compute(i: int) -> np.ndarray:
+            if not done[i]:
+                local = compose_trs(self.node_translation[i],
+                                    self.node_rotation[i],
+                                    self.node_scale[i])
+                p = int(self.node_parent[i])
+                out[i] = local if p < 0 else compute(p) @ local
+                done[i] = True
+            return out[i]
+
+        for i in range(n):
+            compute(i)
+        return out
+
+    def apply_node_transforms(self):
+        """Push current node TRS / weights into the meshes: static nodes
+        get ``set_matrix(global)``, skinned nodes get
+        ``set_bones(globalJoint @ IBM)`` (the glTF skinning model: the
+        skinned mesh ignores its own node transform), morphed nodes get
+        ``set_morph_weights``. The Mesh setters keep the previous-frame
+        snapshots the velocity pass needs."""
+        globals_ = self.global_transforms()
+        palettes = {
+            si: np.stack([globals_[j] @ ibm[k]
+                          for k, j in enumerate(joints)]).astype(np.float32)
+            for si, (joints, ibm) in enumerate(self.skins)
+            if any(ns == si for ns in self.node_skin.values())
+        }
+        for node, mesh_ids in self.node_meshes.items():
+            skin = self.node_skin.get(node)
+            w = self.node_weights.get(node)
+            for mi in mesh_ids:
+                mesh = self.meshes[mi]
+                if skin is not None and mesh.skin_indices is not None:
+                    mesh.set_bones(palettes[skin])
+                else:
+                    mesh.set_matrix(globals_[node])
+                if w is not None and mesh.morph_positions is not None:
+                    mesh.set_morph_weights(
+                        np.asarray(w, np.float32)[
+                            : mesh.morph_positions.shape[0]])
+
+
+def _parse_animations(gltf: dict, buffers) -> list:
+    """``animations`` array -> AnimationClip list (samplers resolved to
+    keyframe arrays; rotation output stays (x, y, z, w))."""
+    clips = []
+    for ai, anim in enumerate(gltf.get("animations", [])):
+        channels = []
+        for ch in anim.get("channels", []):
+            target = ch["target"]
+            if "node" not in target:
+                continue
+            samp = anim["samplers"][ch["sampler"]]
+            times = _accessor(gltf, buffers, samp["input"]) \
+                .reshape(-1).astype(np.float64)
+            values = _accessor(gltf, buffers, samp["output"]) \
+                .astype(np.float64)
+            interp = samp.get("interpolation", "LINEAR")
+            n = len(times)
+            # CUBICSPLINE stores (in-tangent, value, out-tangent) triples
+            values = (values.reshape(n, 3, -1) if interp == "CUBICSPLINE"
+                      else values.reshape(n, -1))
+            channels.append(AnimationChannel(
+                node=target["node"], path=target["path"], times=times,
+                values=values, interpolation=interp))
+        clips.append(AnimationClip(
+            name=anim.get("name", f"clip_{ai}"), channels=channels))
+    return clips
+
+
 def load_gltf(path: str) -> list[Mesh]:
     """Load a .glb/.gltf file into a flat list of :class:`Mesh` with node
     transforms baked into ``matrix_world``. Add them to a Scene with
-    ``for m in load_gltf(p): scene.add(m)``."""
+    ``for m in load_gltf(p): scene.add(m)``. For animations / the node
+    hierarchy use :func:`load_gltf_asset`."""
+    return load_gltf_asset(path).meshes
+
+
+def load_gltf_asset(path: str) -> GltfAsset:
+    """Load a .glb/.gltf file with its node hierarchy and animations."""
     base_dir = os.path.dirname(os.path.abspath(path))
     with open(path, "rb") as f:
         data = f.read()
@@ -285,36 +407,49 @@ def load_gltf(path: str) -> list[Mesh]:
     image_cache: dict = {}
     meshes: list[Mesh] = []
 
-    # global node transforms (for skin joints, which can sit anywhere
-    # in the hierarchy)
+    # retained node table: local TRS per node + parent links (animation
+    # channels overwrite individual TRS components, so "matrix" nodes are
+    # decomposed once here, like three.js' Matrix4.decompose on load)
     nodes = gltf.get("nodes", [])
-    node_global = [None] * len(nodes)
+    node_parent = np.full(max(len(nodes), 1), -1, np.int32)
+    for p, n in enumerate(nodes):
+        for c in n.get("children", ()):
+            node_parent[c] = p
+    node_t, node_r, node_s = [], [], []
+    for n in nodes:
+        t, r, s = decompose_trs(_node_matrix(n))
+        node_t.append(t)
+        node_r.append(r)
+        node_s.append(s)
 
-    def global_of(i: int, _stack=()):
-        if node_global[i] is None:
-            parent = next((p for p, n in enumerate(nodes)
-                           if i in n.get("children", ())), None)
-            m = _node_matrix(nodes[i])
-            node_global[i] = (
-                m if parent is None else global_of(parent) @ m)
-        return node_global[i]
-
-    def skin_data(skin_index: int):
-        """(joints global @ IBM) bone palette for a glTF skin."""
-        skin = gltf["skins"][skin_index]
-        joints = skin["joints"]
+    skins = []
+    for skin in gltf.get("skins", []):
+        joints = list(skin["joints"])
         if "inverseBindMatrices" in skin:
             ibm = _accessor(gltf, buffers, skin["inverseBindMatrices"])
             ibm = ibm.reshape(-1, 4, 4).transpose(0, 2, 1)  # column-major
         else:
             ibm = np.tile(np.eye(4), (len(joints), 1, 1))
+        skins.append((joints, ibm.astype(np.float64)))
+
+    asset = GltfAsset(
+        meshes=meshes, animations=_parse_animations(gltf, buffers),
+        node_translation=node_t, node_rotation=node_r, node_scale=node_s,
+        node_parent=node_parent, node_meshes={}, node_skin={},
+        skins=skins, node_weights={},
+    )
+    node_global = asset.global_transforms() if nodes else np.zeros((0, 4, 4))
+
+    def skin_data(skin_index: int):
+        """(joints global @ IBM) bone palette for a glTF skin."""
+        joints, ibm = skins[skin_index]
         return np.stack([
-            global_of(j) @ ibm[k] for k, j in enumerate(joints)
+            node_global[j] @ ibm[k] for k, j in enumerate(joints)
         ]).astype(np.float32)
 
-    def visit(node_index: int, parent: np.ndarray):
+    def visit(node_index: int):
         node = gltf["nodes"][node_index]
-        world = parent @ _node_matrix(node)
+        world = node_global[node_index]
         if "mesh" in node:
             for prim in gltf["meshes"][node["mesh"]]["primitives"]:
                 if prim.get("mode", 4) != 4:
@@ -392,6 +527,26 @@ def load_gltf(path: str) -> list[Mesh]:
                         prim.get("material"), image_cache),
                     uvs=uvs,
                 )
+                # morph targets: per-vertex POSITION/NORMAL deltas
+                # (K16/K17's morphtarget vertex path; targets without a
+                # delta attribute contribute zeros)
+                targets = prim.get("targets") or []
+                if targets:
+                    mesh.morph_positions = np.stack([
+                        _accessor(gltf, buffers, t["POSITION"])
+                        .astype(np.float32) if "POSITION" in t
+                        else np.zeros_like(pos) for t in targets])
+                    mesh.morph_normals = np.stack([
+                        _accessor(gltf, buffers, t["NORMAL"])
+                        .astype(np.float32) if "NORMAL" in t
+                        else np.zeros_like(pos) for t in targets])
+                    # node weights override mesh weights (glTF spec)
+                    default_w = np.asarray(node.get(
+                        "weights",
+                        gltf["meshes"][node["mesh"]].get(
+                            "weights", [0.0] * len(targets))), np.float32)
+                    mesh.set_morph_weights(default_w)
+                    asset.node_weights[node_index] = default_w
                 if "skin" in node and joints is not None:
                     # skinning replaces the node transform (glTF spec):
                     # world pos = sum_j w_j (globalJoint_j @ IBM_j) @ pos
@@ -400,17 +555,21 @@ def load_gltf(path: str) -> list[Mesh]:
                     mesh.skin_weights = (weights / wsum).astype(np.float32)
                     mesh.bone_matrices = skin_data(node["skin"])
                     mesh.set_matrix(np.eye(4))
+                    asset.node_skin[node_index] = node["skin"]
                 else:
                     mesh.set_matrix(world)
                 meshes.append(mesh)
+                asset.node_meshes.setdefault(node_index, []).append(
+                    len(meshes) - 1)
         for child in node.get("children", []):
-            visit(child, world)
+            visit(child)
 
     scene_index = gltf.get("scene", 0)
-    roots = gltf["scenes"][scene_index]["nodes"] if gltf.get("scenes") else range(len(gltf.get("nodes", [])))
+    roots = (gltf["scenes"][scene_index]["nodes"] if gltf.get("scenes")
+             else range(len(gltf.get("nodes", []))))
     for root in roots:
-        visit(root, np.eye(4))
-    return meshes
+        visit(root)
+    return asset
 
 
 # ---------------------------------------------------------------------------
