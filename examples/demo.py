@@ -233,6 +233,11 @@ def main():
     ap.add_argument("--save-every", type=int, default=0,
                     help="dump every Nth frame (0 = final only)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--env", default=None,
+                    help="environment: an .hdr file or a cube-map dir of "
+                         "posx/negx/... faces (reference: `main.js:278` "
+                         "loads hdr/spree_bank_1k.hdr); optional "
+                         "':blur=<0..1>' suffix prefilters it")
     args = ap.parse_args()
 
     if args.cpu:
@@ -242,6 +247,16 @@ def main():
     from realism_effects_tpu import EffectComposer, save_frame
 
     scene, cam, animate = build_scene(args.scene)
+    if args.env:
+        from realism_effects_tpu import blur_env, build_equirect_env, load_cubemap
+        from realism_effects_tpu.utils.image_io import read_hdr
+
+        env_path, _, blur = args.env.partition(":blur=")
+        eq = (load_cubemap(env_path) if os.path.isdir(env_path)
+              else read_hdr(env_path))
+        if blur:
+            eq = blur_env(eq, float(blur))
+        scene.environment = build_equirect_env(eq)
     composer = EffectComposer(scene, cam, args.size, args.size)
     for e in build_effects(args.effects.split(","), args.aa):
         composer.add_effect(e)

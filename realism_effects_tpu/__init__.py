@@ -12,7 +12,8 @@ entry points (EffectComposer, Scene, cameras, rasterizer).
 from .composer import EffectComposer, FrameContext
 from .core.camera import CameraMatrices, OrthographicCamera, PerspectiveCamera
 from .core.envmap import (
-    EquirectEnv, build_equirect_env, cube_to_equirect, equirect_to_cube,
+    EquirectEnv, blur_env, build_equirect_env, cube_to_equirect,
+    equirect_to_cube, load_cubemap,
     procedural_sky,
 )
 from .core.framebuffers import GBuffer, VelocityBuffer
@@ -57,7 +58,7 @@ __all__ = [
     "Scene", "Mesh", "Material", "PerspectiveCamera", "OrthographicCamera",
     "CameraMatrices", "GBuffer", "VelocityBuffer",
     "EquirectEnv", "build_equirect_env", "procedural_sky",
-    "cube_to_equirect", "equirect_to_cube",
+    "cube_to_equirect", "equirect_to_cube", "load_cubemap", "blur_env",
     "make_box", "make_plane", "make_sphere",
     "translation", "rotation_x", "rotation_y", "scale",
     "rasterize_gbuffer", "shade_direct", "load_gltf", "load_gltf_asset",

@@ -20,7 +20,7 @@ import numpy as np
 from .math3d import luminance
 from .sampling import (
     MipAtlas, build_mip_atlas, build_mip_chain, sample_bilinear,
-    sample_mip_atlas,
+    sample_bilinear_mip, sample_mip_atlas,
 )
 
 
@@ -241,6 +241,65 @@ def cube_to_equirect(faces: jnp.ndarray, height: int, width: int) -> jnp.ndarray
 
 def math3d_dot_const(d, c):
     return d[..., 0] * c[0] + d[..., 1] * c[1] + d[..., 2] * c[2]
+
+
+def blur_env(equirect: jnp.ndarray, blur: float) -> jnp.ndarray:
+    """Return an equirect env blurred by ``blur`` in [0, 1].
+
+    The analog of the example's ``BlurredEnvMapGenerator.generate``
+    (`/root/reference/example/BlurredEnvMapGenerator.js:310-358`): the
+    reference builds a PMREM roughness-prefiltered pyramid and reads it
+    back at one fixed blur level into a new equirect ``DataTexture``;
+    here the same fixed-level prefilter is a trilinear fetch from the
+    box mip chain at ``lod = blur * maxMip`` — the identical mapping the
+    SSGI tracer applies per env fetch (``envBlur``, `ssgi.frag:322`).
+    """
+    mips = build_mip_chain(equirect)
+    h, w = equirect.shape[0], equirect.shape[1]
+    v, u = jnp.meshgrid((jnp.arange(h) + 0.5) / h, (jnp.arange(w) + 0.5) / w,
+                        indexing="ij")
+    lod = jnp.float32(blur) * (len(mips) - 1)
+    return sample_bilinear_mip(mips, jnp.stack([u, v], axis=-1), lod)
+
+
+#: GL cube-face file order, the three.js ``CubeTextureLoader`` layout
+CUBE_FACE_NAMES = ("posx", "negx", "posy", "negy", "posz", "negz")
+
+
+def load_cubemap(path: str, height: int | None = None,
+                 ext: str | None = None) -> jnp.ndarray:
+    """Load a 6-face cube map directory into an equirect (H, W, 3) image.
+
+    ``path`` holds ``posx/negx/posy/negy/posz/negz`` images (any PIL
+    format) — the layout the reference's demo ships
+    (`example/public/cubemap/yokohama_3/`) and feeds through
+    ``CubeTextureLoader`` + ``CubeToEquirectEnvPass``
+    (`CubeToEquirectEnvPass.js:59-99`). Cube faces upload unflipped
+    (three.js sets ``flipY=false`` for cube textures), so rows stay in
+    file order. ``height`` defaults to the reference's pow2 sizing:
+    face size * 2 wide, * 1 tall (`CubeToEquirectEnvPass.js:63-72`).
+    Returns linear-light values (sRGB decode applied)."""
+    import os
+
+    from PIL import Image
+
+    faces = []
+    for name in CUBE_FACE_NAMES:
+        file = None
+        for e in ([ext] if ext else ("jpg", "png", "jpeg", "webp")):
+            cand = os.path.join(path, f"{name}.{e}")
+            if os.path.exists(cand):
+                file = cand
+                break
+        if file is None:
+            raise FileNotFoundError(f"cube face {name}.* not in {path}")
+        img = np.asarray(Image.open(file).convert("RGB"), np.float32) / 255.0
+        faces.append(np.where(img <= 0.04045, img / 12.92,
+                              ((img + 0.055) / 1.055) ** 2.4))
+    size = faces[0].shape[0]
+    if height is None:
+        height = 1 << int(np.ceil(np.log2(size)))  # pow2, like :63-72
+    return cube_to_equirect(jnp.asarray(np.stack(faces)), height, 2 * height)
 
 
 def procedural_sky(height: int = 64, width: int = 128, sun_dir=(0.5, 0.6, 0.3),
