@@ -196,10 +196,17 @@ def build_scene(name: str):
 
 def build_effects(names, aa: str):
     from realism_effects_tpu import (
-        GradualBackgroundEffect, GTAOEffect, HBAOEffect, LensDistortionEffect,
-        MotionBlurEffect, SharpnessEffect, SparkleEffect, SSGIEffect,
-        SSREffect, TAAPass, TRAAEffect,
+        BloomEffect, GradualBackgroundEffect, GTAOEffect, HBAOEffect,
+        LensDistortionEffect, LUT3DEffect, MotionBlurEffect, SharpnessEffect,
+        SparkleEffect, SSGIEffect, SSREffect, TAAPass, ToneMappingEffect,
+        TRAAEffect, VignetteEffect, load_lut_3dl,
     )
+
+    def lut():
+        path = "/root/reference/example/public/lut_v2.3dl"
+        if not os.path.exists(path):
+            raise SystemExit(f"lut effect needs {path}")
+        return LUT3DEffect(load_lut_3dl(path))
 
     table = {
         "ssgi": lambda: SSGIEffect(),
@@ -211,7 +218,20 @@ def build_effects(names, aa: str):
         "sparkle": lambda: SparkleEffect(),
         "lens_distortion": lambda: LensDistortionEffect(),
         "gradual_background": lambda: GradualBackgroundEffect((0.1, 0.12, 0.18)),
+        "tonemap": lambda: ToneMappingEffect(),
+        "vignette": lambda: VignetteEffect(),
+        "bloom": lambda: BloomEffect(),
+        "lut": lut,
+        "traa": lambda: TRAAEffect(),
+        "taa": lambda: TAAPass(),
     }
+    if names == ["full"]:
+        # the reference demo's exact stack + ordering (`main.js:510-539`):
+        # ssgi+tonemap / traa / sharpness+vignette / bloom+lut
+        names = ["ssgi", "tonemap", aa, "sharpness", "vignette",
+                 "bloom", "lut"]
+        names = [n for n in names if n != "none"]
+        aa = "inline"
     effects = [table[n.strip()]() for n in names if n.strip()]
     if aa == "traa":
         effects.append(TRAAEffect())
@@ -246,6 +266,8 @@ def main():
 
     from realism_effects_tpu import EffectComposer, save_frame
 
+    from realism_effects_tpu import ToneMappingEffect
+
     scene, cam, animate = build_scene(args.scene)
     if args.env:
         from realism_effects_tpu import blur_env, build_equirect_env, load_cubemap
@@ -258,8 +280,13 @@ def main():
             eq = blur_env(eq, float(blur))
         scene.environment = build_equirect_env(eq)
     composer = EffectComposer(scene, cam, args.size, args.size)
-    for e in build_effects(args.effects.split(","), args.aa):
+    effects = build_effects(args.effects.split(","), args.aa)
+    for e in effects:
         composer.add_effect(e)
+    # a ToneMappingEffect in the chain already produced display-ready
+    # values; don't tone map again at save time
+    tonemap_at_save = not any(isinstance(e, ToneMappingEffect)
+                              for e in effects)
 
     os.makedirs(args.out, exist_ok=True)
     times = []
@@ -273,9 +300,10 @@ def main():
         times.append((time.perf_counter() - t0) * 1000)
         if args.save_every and f % args.save_every == 0:
             save_frame(os.path.join(args.out, f"frame_{f:04d}.png"),
-                       np.asarray(img))
+                       np.asarray(img), tonemap=tonemap_at_save)
 
-    save_frame(os.path.join(args.out, "final.png"), np.asarray(img))
+    save_frame(os.path.join(args.out, "final.png"), np.asarray(img),
+               tonemap=tonemap_at_save)
     steady = times[2:] if len(times) > 4 else times
     print(
         f"scene={args.scene} effects={args.effects}+{args.aa} "

@@ -24,6 +24,10 @@ from .effects.finishing import (
     SparkleEffect,
 )
 from .effects.motion_blur import MotionBlurEffect
+from .effects.postfx import (
+    BloomEffect, LUT3DEffect, ToneMappingEffect, VignetteEffect,
+    load_lut_3dl,
+)
 from .effects.ssgi import SSGI_PRESETS, SSGIEffect, SSREffect
 from .effects.taa import TAAPass
 from .effects.traa import TRAAEffect
@@ -50,6 +54,10 @@ __all__ = [
     "SSGIEffect", "SSREffect", "TAAPass", "TRAAEffect", "MotionBlurEffect",
     "HBAOEffect", "GTAOEffect", "SharpnessEffect", "GradualBackgroundEffect",
     "SparkleEffect", "LensDistortionEffect",
+    # postprocessing-package companions the reference demo stacks with
+    # (`example/main.js:465-476,510-539`)
+    "BloomEffect", "VignetteEffect", "ToneMappingEffect", "LUT3DEffect",
+    "load_lut_3dl",
     "temporal_reproject", "TemporalReprojectConfig",
     "poisson_denoise", "PoissonDenoiseConfig",
     "rasterize_velocity",  # VelocityPass / VelocityDepthNormalPass
