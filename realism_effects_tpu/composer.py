@@ -187,6 +187,12 @@ class EffectComposer:
         #: frame; adds one device sync per stage, so leave off in production
         self.collect_timings = False
         self.last_timings: dict[str, float] = {}
+        #: run the whole effect chain as ONE jitted program (single host
+        #: dispatch) instead of one per effect. Same math, fewer
+        #: dispatches — the frame loop is host-dispatch-bound. Set False
+        #: to fall back to per-effect stages (collect_timings does so
+        #: automatically, it needs the stage boundaries)
+        self.fuse_effects = True
 
     # ------------------------------------------------------------------
     def add_effect(self, effect) -> "EffectComposer":
@@ -339,6 +345,34 @@ class EffectComposer:
 
         self._effect_stages = [make_stage(e) for e in self.effects]
 
+        effects = tuple(self.effects)
+
+        def fused_stage(ubuf, gbuffer, velocity, last_velocity,
+                        scene_color, state, env):
+            # whole effect chain in ONE program: same math as the staged
+            # path, but a single host dispatch per frame (the loop is
+            # host-dispatch-bound at ~1 ms; each saved dispatch is real
+            # frame time). XLA additionally fuses pointwise stages.
+            ctx = FrameContext(
+                gbuffer=gbuffer,
+                velocity=velocity,
+                last_velocity=last_velocity,
+                scene_color=scene_color,
+                cam=_unpack_camera(layout, ubuf, "cam"),
+                unjittered_cam=_unpack_camera(layout, ubuf, "unjit_cam"),
+                prev_cam=_unpack_camera(layout, ubuf, "prev_cam"),
+                frame_index=layout.get(ubuf, "frame_index").astype(jnp.int32),
+                params=self._params_from_buf(ubuf),
+                env=env,
+            )
+            image = scene_color
+            new_state = {}
+            for e in effects:
+                image, new_state[e.name] = e.apply(ctx, image, state[e.name])
+            return image, new_state
+
+        self._fused_stage = jax.jit(fused_stage, donate_argnums=(5,))
+
     # ------------------------------------------------------------------
     def render(self, dt: float | None = None):
         """Render one frame; returns the (H, W, 3) image (device array).
@@ -469,17 +503,24 @@ class EffectComposer:
             gbuffer, velocity, color = external
         last_velocity = self._state["__global__"]["last_velocity"]
         new_state = {"__global__": {"last_velocity": velocity}}
-        image = color
-        for e, stage in zip(self.effects, self._effect_stages):
-            image, new_state[e.name] = stage(
+        if self.fuse_effects and not timing and self.effects:
+            image, fused_state = self._fused_stage(
                 ubuf, gbuffer, velocity, last_velocity, color,
-                image, self._state[e.name], env,
+                {e.name: self._state[e.name] for e in self.effects}, env,
             )
-            if timing:
-                jax.block_until_ready(image)
-                t_now = time.perf_counter()
-                self.last_timings[e.name] = (t_now - t_last) * 1e3
-                t_last = t_now
+            new_state.update(fused_state)
+        else:
+            image = color
+            for e, stage in zip(self.effects, self._effect_stages):
+                image, new_state[e.name] = stage(
+                    ubuf, gbuffer, velocity, last_velocity, color,
+                    image, self._state[e.name], env,
+                )
+                if timing:
+                    jax.block_until_ready(image)
+                    t_now = time.perf_counter()
+                    self.last_timings[e.name] = (t_now - t_last) * 1e3
+                    t_last = t_now
         self._state = new_state
 
         # --- end-of-frame snapshots ------------------------------------
