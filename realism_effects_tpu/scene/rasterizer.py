@@ -27,6 +27,9 @@ from ..core.framebuffers import GBuffer, VelocityBuffer
 from .scene import PackedScene
 
 _CHUNK = 16  # triangles per scan step; (H, W, CHUNK) temps must fit HBM
+#: depth-peel passes for alpha-*map* transparency (see _visibility);
+#: each pass re-rasterizes with earlier per-pixel winners excluded
+_ALPHA_PEELS = 3
 
 
 def _world_transform(packed: PackedScene, model_mats: jnp.ndarray,
@@ -122,7 +125,16 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
       toward the true alpha as TRAA/TAA accumulates samples.
 
     ``alpha_tex``: optional (pages (F,) int32, uvs (V, 2), atlas
-    (N, S, S, 4)) for per-texel map alpha (nearest-sampled).
+    (N, S, S, 4)) for per-texel map alpha (nearest-sampled). Texel alpha
+    is resolved by **depth peeling**: the z-scan itself stays gather-free
+    (an in-scan (H, W, K)-indexed atlas gather either faults the TPU or
+    compiles pathologically at >= 512^2), so each peel pass rasterizes
+    with previous winners excluded per pixel and the convergence-law
+    test runs on the winner's texel at (H, W). Pixels whose first
+    ``alpha_peels`` candidate layers all dither out become background —
+    exact up to that depth complexity (the reference's in-shader discard
+    has no such bound, but >3 overlapping dithered-out layers on one
+    still-frame pixel is vanishing).
     Returns (tri_id (H, W) int32, depth01 (H, W) in [0, 1], 1 = background).
     """
     num_faces = faces.shape[0]
@@ -151,13 +163,6 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
         alpha_p = jnp.concatenate(
             [tri_alpha, jnp.ones((pad,), tri_alpha.dtype)]
         )
-    if alpha_tex is not None:
-        pages, uvs, atlas = alpha_tex
-        pages_p = jnp.concatenate(
-            [pages, jnp.full((pad,), -1, jnp.int32)]
-        )
-        tri_uv = uvs[faces_p]                          # (F', 3, 2)
-
     n_chunks = faces_p.shape[0] // _CHUNK
     chunk = lambda a: a.reshape((n_chunks, _CHUNK) + a.shape[1:])
     scan_in = {
@@ -166,76 +171,112 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
     }
     if tri_alpha is not None:
         scan_in["alpha"] = chunk(alpha_p)
-    if alpha_tex is not None:
-        scan_in["page"] = chunk(pages_p)
-        scan_in["uv"] = chunk(tri_uv)
 
     pxg = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :, None]   # (1, W, 1)
     pyg = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None, None]  # (H, 1, 1)
 
-    def step(carry, inp):
-        zbuf, ids = carry
-        ccoef = inp["coef"]
-        # e: (H, W, K) per edge
-        e0 = ccoef[:, 0, 0] * pxg + ccoef[:, 0, 1] * pyg + ccoef[:, 0, 2]
-        e1 = ccoef[:, 1, 0] * pxg + ccoef[:, 1, 1] * pyg + ccoef[:, 1, 2]
-        e2 = ccoef[:, 2, 0] * pxg + ccoef[:, 2, 1] * pyg + ccoef[:, 2, 2]
-        s = inp["sgn"][None, None, :]
-        covered = (e0 * s >= 0.0) & (e1 * s >= 0.0) & (e2 * s >= 0.0)
-        covered &= inp["valid"][None, None, :]
+    def raster_scan(exclude: tuple):
+        """One z-buffer pass; ``exclude`` = per-pixel winner ids of
+        earlier peel passes, removed from the competition."""
 
-        cw, cz = inp["w"], inp["z"]
-        zw = e0 * cw[:, 0] + e1 * cw[:, 1] + e2 * cw[:, 2]   # sum e_i * w_i
-        zc = e0 * cz[:, 0] + e1 * cz[:, 1] + e2 * cz[:, 2]   # sum e_i * z_i
-        se = e0 + e1 + e2
-        se_safe = jnp.where(jnp.abs(se) > 1e-20, se, 1e-20)
-        w_pix = zw / se_safe
-        covered &= w_pix > 1e-6                             # in front of eye
-        z_ndc = zc / jnp.where(jnp.abs(zw) > 1e-20, zw, 1e-20)
-        covered &= (z_ndc >= -1.0) & (z_ndc <= 1.0)
-        if tri_alpha is not None:
-            a = jnp.broadcast_to(
-                inp["alpha"][None, None, :], covered.shape
-            )
-            if alpha_tex is not None:
-                # perspective-correct uv (lambda_i = e_i / se), nearest
-                # alpha-map texel, *green* channel (`GBufferMaterial.js:60`)
-                cuv = inp["uv"]                              # (K, 3, 2)
-                u = (e0 * cuv[:, 0, 0] + e1 * cuv[:, 1, 0]
-                     + e2 * cuv[:, 2, 0]) / se_safe
-                v = (e0 * cuv[:, 0, 1] + e1 * cuv[:, 1, 1]
-                     + e2 * cuv[:, 2, 1]) / se_safe
-                size = atlas.shape[1]
-                iu = (jnp.mod(u, 1.0) * size).astype(jnp.int32) % size
-                iv = (jnp.mod(v, 1.0) * size).astype(jnp.int32) % size
-                page = inp["page"]
-                tex_a = atlas[jnp.maximum(page, 0), iv, iu, 1]
-                a = jnp.where(page[None, None, :] >= 0, a * tex_a, a)
-            opaque = a >= 0.9999
-            # first still frame: hard cut; later: softening-ramp dither
-            # (`GBufferMaterial.js:63-79`; GLSL step(0.5, a) is 1 at 0.5)
-            a_step = (a >= 0.5).astype(jnp.float32)
-            ramp = 1.0 / (cnmf * 0.1 + 1.0)
-            a_soft = a + (a_step - a) * ramp
-            hard_pass = a >= 0.5
-            soft_pass = opaque | (dither[..., None] < a_soft)
-            covered &= jnp.where(cnmf < 0.5, hard_pass, soft_pass)
+        def step(carry, inp):
+            zbuf, ids = carry
+            ccoef = inp["coef"]
+            # e: (H, W, K) per edge
+            e0 = ccoef[:, 0, 0] * pxg + ccoef[:, 0, 1] * pyg + ccoef[:, 0, 2]
+            e1 = ccoef[:, 1, 0] * pxg + ccoef[:, 1, 1] * pyg + ccoef[:, 1, 2]
+            e2 = ccoef[:, 2, 0] * pxg + ccoef[:, 2, 1] * pyg + ccoef[:, 2, 2]
+            s = inp["sgn"][None, None, :]
+            covered = (e0 * s >= 0.0) & (e1 * s >= 0.0) & (e2 * s >= 0.0)
+            covered &= inp["valid"][None, None, :]
 
-        z = jnp.where(covered, z_ndc, jnp.inf)
-        k_best = jnp.argmin(z, axis=-1)                     # (H, W)
-        z_best = jnp.min(z, axis=-1)
-        id_best = inp["ids"][k_best]
+            cw, cz = inp["w"], inp["z"]
+            zw = e0 * cw[:, 0] + e1 * cw[:, 1] + e2 * cw[:, 2]  # sum e_i*w_i
+            zc = e0 * cz[:, 0] + e1 * cz[:, 1] + e2 * cz[:, 2]  # sum e_i*z_i
+            se = e0 + e1 + e2
+            se_safe = jnp.where(jnp.abs(se) > 1e-20, se, 1e-20)
+            w_pix = zw / se_safe
+            covered &= w_pix > 1e-6                         # in front of eye
+            z_ndc = zc / jnp.where(jnp.abs(zw) > 1e-20, zw, 1e-20)
+            covered &= (z_ndc >= -1.0) & (z_ndc <= 1.0)
+            for prev_ids in exclude:
+                covered &= inp["ids"][None, None, :] != prev_ids[..., None]
+            if tri_alpha is not None:
+                # material alpha only — per-triangle broadcast, no
+                # gathers; texel alpha is handled by the peel passes
+                a = jnp.broadcast_to(
+                    inp["alpha"][None, None, :], covered.shape
+                )
+                opaque = a >= 0.9999
+                # first still frame: hard cut; later: softening-ramp
+                # dither (`GBufferMaterial.js:63-79`; GLSL step(0.5, a)
+                # is 1 at 0.5)
+                a_step = (a >= 0.5).astype(jnp.float32)
+                ramp = 1.0 / (cnmf * 0.1 + 1.0)
+                a_soft = a + (a_step - a) * ramp
+                hard_pass = a >= 0.5
+                soft_pass = opaque | (dither[..., None] < a_soft)
+                covered &= jnp.where(cnmf < 0.5, hard_pass, soft_pass)
 
-        better = z_best < zbuf
-        zbuf = jnp.where(better, z_best, zbuf)
-        ids = jnp.where(better, id_best, ids)
-        return (zbuf, ids), None
+            z = jnp.where(covered, z_ndc, jnp.inf)
+            k_best = jnp.argmin(z, axis=-1)                 # (H, W)
+            z_best = jnp.min(z, axis=-1)
+            id_best = inp["ids"][k_best]
 
-    zbuf0 = jnp.full((height, width), jnp.inf, jnp.float32)
-    ids0 = jnp.full((height, width), -1, jnp.int32)
-    (zbuf, ids), _ = jax.lax.scan(step, (zbuf0, ids0), scan_in)
-    depth01 = jnp.where(ids >= 0, zbuf * 0.5 + 0.5, 1.0)
-    return ids, depth01
+            better = z_best < zbuf
+            zbuf = jnp.where(better, z_best, zbuf)
+            ids = jnp.where(better, id_best, ids)
+            return (zbuf, ids), None
+
+        zbuf0 = jnp.full((height, width), jnp.inf, jnp.float32)
+        ids0 = jnp.full((height, width), -1, jnp.int32)
+        (zbuf, ids), _ = jax.lax.scan(step, (zbuf0, ids0), scan_in)
+        return zbuf, ids
+
+    zbuf, ids = raster_scan(())
+    if alpha_tex is None:
+        return ids, jnp.where(ids >= 0, zbuf * 0.5 + 0.5, 1.0)
+
+    # --- texel-alpha depth peeling -----------------------------------
+    pages, uvs, atlas = alpha_tex
+    size = atlas.shape[1]
+
+    def winner_keeps(win_ids):
+        """Full convergence-law test (material * texel alpha) on each
+        pixel's winning texel — (H, W) gathers only, the same pattern
+        as the G-buffer's texture sampling (`GBufferMaterial.js:57-79`,
+        nearest texel, *green* channel per :60)."""
+        vidx, wts, valid = _pixel_weights(clip, faces, win_ids,
+                                          height, width)
+        uv = _interp(uvs, vidx, wts)
+        safe = jnp.maximum(win_ids, 0)
+        page = pages[safe]
+        iu = (jnp.mod(uv[..., 0], 1.0) * size).astype(jnp.int32) % size
+        iv = (jnp.mod(uv[..., 1], 1.0) * size).astype(jnp.int32) % size
+        tex_a = atlas[jnp.maximum(page, 0), iv, iu, 1]
+        a = tri_alpha[safe] * jnp.where(page >= 0, tex_a, 1.0)
+        a_step = (a >= 0.5).astype(jnp.float32)
+        ramp = 1.0 / (cnmf * 0.1 + 1.0)
+        a_soft = a + (a_step - a) * ramp
+        keep = jnp.where(cnmf < 0.5, a >= 0.5,
+                         (a >= 0.9999) | (dither < a_soft))
+        return keep | ~valid       # background resolves trivially
+
+    keep = winner_keeps(ids)
+    final_ids = jnp.where(keep, ids, -1)
+    final_z = jnp.where(keep, zbuf, jnp.inf)
+    resolved = keep
+    exclude = [ids]
+    for _ in range(max(_ALPHA_PEELS - 1, 0)):
+        zb, idp = raster_scan(tuple(exclude))
+        kp = winner_keeps(idp)
+        take = ~resolved & kp
+        final_ids = jnp.where(take, idp, final_ids)
+        final_z = jnp.where(take, zb, final_z)
+        resolved = resolved | kp
+        exclude.append(idp)
+    depth01 = jnp.where(final_ids >= 0, final_z * 0.5 + 0.5, 1.0)
+    return final_ids, depth01
 
 
 def _pixel_weights(clip: jnp.ndarray, faces: jnp.ndarray, ids: jnp.ndarray,
