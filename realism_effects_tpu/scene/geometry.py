@@ -38,15 +38,25 @@ class Material:
     map: "np.ndarray | None" = None
     emissive_map: "np.ndarray | None" = None
     alpha_map: "np.ndarray | None" = None
+    #: tangent-space normal map, [0,1]-encoded RGB (three.js
+    #: ``normalMap``; perturbed via screen-derivative tangent frames in
+    #: the rasterizer, `normal_fragment_maps` / ``getTangentFrame``)
+    normal_map: "np.ndarray | None" = None
+    normal_scale: float = 1.0
+    #: metallic-roughness texture (glTF layout: G = roughness,
+    #: B = metalness, multiplied onto the factors — three.js
+    #: ``roughnessMap``/``metalnessMap`` semantics)
+    mr_map: "np.ndarray | None" = None
 
     def as_row(self) -> np.ndarray:
         return np.array(
-            [*self.diffuse, self.roughness, self.metalness, *self.emissive],
+            [*self.diffuse, self.roughness, self.metalness, *self.emissive,
+             self.normal_scale],
             np.float32,
         )
 
 
-MATERIAL_ROW_SIZE = 9  # rgba, roughness, metalness, emissive rgb
+MATERIAL_ROW_SIZE = 10  # rgba, roughness, metalness, emissive rgb, nrm scale
 
 
 @dataclasses.dataclass

@@ -214,6 +214,11 @@ def _material(gltf, buffers, base_dir, index, cache) -> Material:
         gltf, buffers, base_dir, pbr.get("baseColorTexture"), cache)
     emis_img = _texture_image(
         gltf, buffers, base_dir, m.get("emissiveTexture"), cache)
+    # normal / metallic-roughness textures are linear data (no sRGB)
+    nrm_img = _texture_image(
+        gltf, buffers, base_dir, m.get("normalTexture"), cache)
+    mr_img = _texture_image(
+        gltf, buffers, base_dir, pbr.get("metallicRoughnessTexture"), cache)
 
     tex = None
     alpha_map = None
@@ -238,6 +243,9 @@ def _material(gltf, buffers, base_dir, index, cache) -> Material:
         map=tex,
         emissive_map=emis_img,
         alpha_map=alpha_map,
+        normal_map=nrm_img,
+        normal_scale=float(m.get("normalTexture", {}).get("scale", 1.0)),
+        mr_map=mr_img,
     )
 
 

@@ -346,6 +346,48 @@ def _sample_atlas(atlas: jnp.ndarray, page: jnp.ndarray, uv: jnp.ndarray):
     return top + (bot - top) * fy
 
 
+def _dfdx(p: jnp.ndarray) -> jnp.ndarray:
+    """Screen-space x derivative of an (H, W, C) plane (forward diff,
+    edge-clamped — the dFdx analog)."""
+    d = p[:, 1:] - p[:, :-1]
+    return jnp.concatenate([d, d[:, -1:]], axis=1)
+
+
+def _dfdy(p: jnp.ndarray) -> jnp.ndarray:
+    d = p[1:] - p[:-1]
+    return jnp.concatenate([d, d[-1:]], axis=0)
+
+
+def _perturb_normal(n: jnp.ndarray, world_pos: jnp.ndarray, uv: jnp.ndarray,
+                    map_rgb: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Apply a tangent-space normal map using screen-derivative tangent
+    frames — three.js ``getTangentFrame`` + ``normal_fragment_maps``
+    (`normal_pars_fragment.glsl.js`); the reference's G-buffer normal
+    includes this because GBufferMaterial is a patched
+    MeshPhysicalMaterial (`GBufferMaterial.js:6-98`). Coordinate-free:
+    world-space derivatives give the same frame as three.js' view-space
+    ones. Returns unit normals (H, W, 3)."""
+    q0 = _dfdx(world_pos)
+    q1 = _dfdy(world_pos)
+    st0 = _dfdx(uv)
+    st1 = _dfdy(uv)
+    q1perp = jnp.cross(q1, n)
+    q0perp = jnp.cross(n, q0)
+    t = q1perp * st0[..., 0:1] + q0perp * st1[..., 0:1]
+    b = q1perp * st0[..., 1:2] + q0perp * st1[..., 1:2]
+    det = jnp.maximum(jnp.sum(t * t, -1), jnp.sum(b * b, -1))
+    inv = jnp.where(det > 0.0, 1.0 / jnp.sqrt(jnp.maximum(det, 1e-30)), 0.0)
+    inv = inv[..., None]
+    mapn = map_rgb * 2.0 - 1.0
+    s = scale[..., None] if scale.ndim == 2 else scale
+    out = (t * inv * (mapn[..., 0:1] * s)
+           + b * inv * (mapn[..., 1:2] * s)
+           + n * mapn[..., 2:3])
+    norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+    # degenerate frames (no uv variation) keep the geometric normal
+    return jnp.where(norm > 1e-8, out / jnp.maximum(norm, 1e-20), n)
+
+
 def _alpha_inputs(packed: PackedScene, dither):
     """(tri_alpha, alpha_tex) for stochastic transparency, or Nones."""
     if dither is None:
@@ -382,10 +424,12 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
     mesh_id = packed.vert_mesh_id[vidx[..., 0]]
-    mat = packed.materials[mesh_id]        # (H, W, 9)
+    mat = packed.materials[mesh_id]        # (H, W, MATERIAL_ROW_SIZE)
     diffuse = mat[..., 0:4]
     emissive = mat[..., 6:9]
 
+    roughness = mat[..., 4]
+    metalness = mat[..., 5]
     if packed.map_atlas.shape[0] > 0:
         # textured materials: perspective-correct uv, repeat wrap, atlas
         # page per mesh (`GBufferMaterial.js:46-96` map sampling)
@@ -398,13 +442,30 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
         emissive = jnp.where(
             (e_page >= 0)[..., None], emissive * etex[..., :3], emissive
         )
+        # metallic-roughness texture (glTF: G = roughness, B = metalness,
+        # multiplied onto the factors — three.js roughnessMap/metalnessMap)
+        mr_page = packed.mr_map_index[mesh_id]
+        mr_tex = _sample_atlas(packed.map_atlas, jnp.maximum(mr_page, 0), uv)
+        has_mr = mr_page >= 0
+        roughness = jnp.where(has_mr, roughness * mr_tex[..., 1], roughness)
+        metalness = jnp.where(has_mr, metalness * mr_tex[..., 2], metalness)
+        # tangent-space normal map via screen-derivative tangent frames
+        # (three.js getTangentFrame + normal_fragment_maps)
+        n_page = packed.normal_map_index[mesh_id]
+        n_tex = _sample_atlas(packed.map_atlas, jnp.maximum(n_page, 0), uv)
+        wpos = _interp(world_pos, vidx, wts)
+        nrm = jnp.where(
+            (n_page >= 0)[..., None],
+            _perturb_normal(nrm, wpos, uv, n_tex[..., :3], mat[..., 9]),
+            nrm,
+        )
 
     vmask = valid[..., None]
     return GBuffer(
         diffuse=jnp.where(vmask, diffuse, 0.0),
         normal=jnp.where(vmask, nrm, 0.0),
-        roughness=jnp.where(valid, mat[..., 4], 1.0),
-        metalness=jnp.where(valid, mat[..., 5], 0.0),
+        roughness=jnp.where(valid, roughness, 1.0),
+        metalness=jnp.where(valid, metalness, 0.0),
         emissive=jnp.where(vmask, emissive, 0.0),
         depth=depth01,
         mesh_id=jnp.where(valid, mesh_id, -1).astype(jnp.int32),

@@ -33,6 +33,8 @@ class PackedScene:
     map_index: jnp.ndarray     # (M,) int32 page into map_atlas, -1 = none
     emissive_map_index: jnp.ndarray  # (M,) int32, -1 = none
     alpha_map_index: jnp.ndarray     # (M,) int32, -1 = none
+    normal_map_index: jnp.ndarray    # (M,) int32, -1 = none
+    mr_map_index: jnp.ndarray        # (M,) int32, -1 = none
     morph_pos_deltas: jnp.ndarray    # (V, T, 3) position deltas (T may be 0)
     morph_nrm_deltas: jnp.ndarray    # (V, T, 3) normal deltas
 
@@ -98,6 +100,7 @@ class Scene:
         positions, normals, faces, vert_ids, mats = [], [], [], [], []
         skin_idx, skin_wgt, uvs = [], [], []
         atlas_pages, map_idx, emis_idx, alpha_idx = [], [], [], []
+        normal_idx, mr_idx = [], []
         morph_pos, morph_nrm = [], []
         t_max = self.max_morph_targets()
         offset = 0
@@ -126,6 +129,8 @@ class Scene:
             map_idx.append(page_for(mesh.material.map))
             emis_idx.append(page_for(mesh.material.emissive_map))
             alpha_idx.append(page_for(mesh.material.alpha_map))
+            normal_idx.append(page_for(mesh.material.normal_map))
+            mr_idx.append(page_for(mesh.material.mr_map))
             if not mesh.visible:
                 # keep the mesh slot (matrices stay index-aligned) but
                 # contribute no geometry
@@ -191,6 +196,8 @@ class Scene:
             map_index=jnp.asarray(np.asarray(map_idx, np.int32)),
             emissive_map_index=jnp.asarray(np.asarray(emis_idx, np.int32)),
             alpha_map_index=jnp.asarray(np.asarray(alpha_idx, np.int32)),
+            normal_map_index=jnp.asarray(np.asarray(normal_idx, np.int32)),
+            mr_map_index=jnp.asarray(np.asarray(mr_idx, np.int32)),
             morph_pos_deltas=jnp.asarray(
                 np.concatenate(morph_pos) if morph_pos
                 else np.zeros((n_verts, 0, 3), np.float32)
