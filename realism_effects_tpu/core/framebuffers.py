@@ -37,6 +37,10 @@ class GBuffer:
     #: effect masks (the Selection-layers analog, `SSGIPass.js:71-79`).
     #: Optional: externally ingested G-buffers may leave it None.
     mesh_id: jnp.ndarray | None = None  # (H, W) int32
+    #: baked ambient-occlusion term from the material's aoMap
+    #: (three.js `aomap_fragment`: 1 + strength*(texel.r - 1)); modulates
+    #: indirect light in the scene shade. Optional (None = no AO maps).
+    ao: jnp.ndarray | None = None       # (H, W)
 
     @property
     def height(self) -> int:

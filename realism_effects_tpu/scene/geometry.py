@@ -47,16 +47,21 @@ class Material:
     #: B = metalness, multiplied onto the factors — three.js
     #: ``roughnessMap``/``metalnessMap`` semantics)
     mr_map: "np.ndarray | None" = None
+    #: occlusion texture (R channel; three.js ``aoMap``, glTF
+    #: ``occlusionTexture`` with ``strength`` = aoMapIntensity)
+    ao_map: "np.ndarray | None" = None
+    ao_strength: float = 1.0
 
     def as_row(self) -> np.ndarray:
         return np.array(
             [*self.diffuse, self.roughness, self.metalness, *self.emissive,
-             self.normal_scale],
+             self.normal_scale, self.ao_strength],
             np.float32,
         )
 
 
-MATERIAL_ROW_SIZE = 10  # rgba, roughness, metalness, emissive rgb, nrm scale
+#: rgba, roughness, metalness, emissive rgb, normal scale, ao strength
+MATERIAL_ROW_SIZE = 11
 
 
 @dataclasses.dataclass

@@ -214,11 +214,13 @@ def _material(gltf, buffers, base_dir, index, cache) -> Material:
         gltf, buffers, base_dir, pbr.get("baseColorTexture"), cache)
     emis_img = _texture_image(
         gltf, buffers, base_dir, m.get("emissiveTexture"), cache)
-    # normal / metallic-roughness textures are linear data (no sRGB)
+    # normal / metallic-roughness / occlusion textures are linear data
     nrm_img = _texture_image(
         gltf, buffers, base_dir, m.get("normalTexture"), cache)
     mr_img = _texture_image(
         gltf, buffers, base_dir, pbr.get("metallicRoughnessTexture"), cache)
+    ao_img = _texture_image(
+        gltf, buffers, base_dir, m.get("occlusionTexture"), cache)
 
     tex = None
     alpha_map = None
@@ -246,6 +248,9 @@ def _material(gltf, buffers, base_dir, index, cache) -> Material:
         normal_map=nrm_img,
         normal_scale=float(m.get("normalTexture", {}).get("scale", 1.0)),
         mr_map=mr_img,
+        ao_map=ao_img,
+        ao_strength=float(
+            m.get("occlusionTexture", {}).get("strength", 1.0)),
     )
 
 

@@ -430,6 +430,7 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
 
     roughness = mat[..., 4]
     metalness = mat[..., 5]
+    ao = None
     if packed.map_atlas.shape[0] > 0:
         # textured materials: perspective-correct uv, repeat wrap, atlas
         # page per mesh (`GBufferMaterial.js:46-96` map sampling)
@@ -459,6 +460,12 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
             _perturb_normal(nrm, wpos, uv, n_tex[..., :3], mat[..., 9]),
             nrm,
         )
+        # occlusion texture -> baked-AO plane (three.js aomap_fragment:
+        # 1 + strength*(texel.r - 1); modulates indirect in shade_direct)
+        a_page = packed.ao_map_index[mesh_id]
+        a_tex = _sample_atlas(packed.map_atlas, jnp.maximum(a_page, 0), uv)
+        ao = jnp.where(a_page >= 0,
+                       1.0 + mat[..., 10] * (a_tex[..., 0] - 1.0), 1.0)
 
     vmask = valid[..., None]
     return GBuffer(
@@ -469,6 +476,7 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
         emissive=jnp.where(vmask, emissive, 0.0),
         depth=depth01,
         mesh_id=jnp.where(valid, mesh_id, -1).astype(jnp.int32),
+        ao=(jnp.where(valid, ao, 1.0) if ao is not None else None),
     )
 
 

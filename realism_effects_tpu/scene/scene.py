@@ -35,6 +35,7 @@ class PackedScene:
     alpha_map_index: jnp.ndarray     # (M,) int32, -1 = none
     normal_map_index: jnp.ndarray    # (M,) int32, -1 = none
     mr_map_index: jnp.ndarray        # (M,) int32, -1 = none
+    ao_map_index: jnp.ndarray        # (M,) int32, -1 = none
     morph_pos_deltas: jnp.ndarray    # (V, T, 3) position deltas (T may be 0)
     morph_nrm_deltas: jnp.ndarray    # (V, T, 3) normal deltas
 
@@ -100,7 +101,7 @@ class Scene:
         positions, normals, faces, vert_ids, mats = [], [], [], [], []
         skin_idx, skin_wgt, uvs = [], [], []
         atlas_pages, map_idx, emis_idx, alpha_idx = [], [], [], []
-        normal_idx, mr_idx = [], []
+        normal_idx, mr_idx, ao_idx = [], [], []
         morph_pos, morph_nrm = [], []
         t_max = self.max_morph_targets()
         offset = 0
@@ -131,6 +132,7 @@ class Scene:
             alpha_idx.append(page_for(mesh.material.alpha_map))
             normal_idx.append(page_for(mesh.material.normal_map))
             mr_idx.append(page_for(mesh.material.mr_map))
+            ao_idx.append(page_for(mesh.material.ao_map))
             if not mesh.visible:
                 # keep the mesh slot (matrices stay index-aligned) but
                 # contribute no geometry
@@ -198,6 +200,7 @@ class Scene:
             alpha_map_index=jnp.asarray(np.asarray(alpha_idx, np.int32)),
             normal_map_index=jnp.asarray(np.asarray(normal_idx, np.int32)),
             mr_map_index=jnp.asarray(np.asarray(mr_idx, np.int32)),
+            ao_map_index=jnp.asarray(np.asarray(ao_idx, np.int32)),
             morph_pos_deltas=jnp.asarray(
                 np.concatenate(morph_pos) if morph_pos
                 else np.zeros((n_verts, 0, 3), np.float32)

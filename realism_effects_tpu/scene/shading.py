@@ -27,6 +27,10 @@ def shade_direct(gbuffer: GBuffer, camera, lighting: dict,
     albedo = gbuffer.diffuse[..., :3]
     up = jnp.clip(n[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
     ambient = lighting["ambient"] * (0.5 + 0.5 * up)
+    if gbuffer.ao is not None:
+        # baked aoMap modulates indirect light only (three.js
+        # aomap_fragment applies it to irradiance, not direct)
+        ambient = ambient * gbuffer.ao[..., None]
 
     # metals have no diffuse lobe; their response comes from specular GI
     kd = (1.0 - gbuffer.metalness)[..., None]

@@ -82,6 +82,37 @@ class TestNormalMap:
             np.asarray(gb_zero.normal)[c, c], [0, 1, 0], atol=2e-2)
 
 
+class TestAOMap:
+    def test_ao_map_darkens_ambient_only(self):
+        from realism_effects_tpu.scene.shading import shade_direct
+
+        dark = np.zeros((8, 8, 4), np.float32)
+        dark[..., 0] = 0.25  # R channel = occlusion
+        scene = Scene()
+        scene.sun_intensity = 0.0  # ambient-only lighting
+        scene.add(make_plane(4, Material(ao_map=dark)))
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(0, 3, 0.01)
+        cam.look_at((0, 0, 0))
+        m = cam.matrices()
+        gb = rasterize_gbuffer(
+            scene.pack(), scene.model_matrices(),
+            m.projection_view_matrix, 64, 64)
+        c = slice(28, 36)
+        # ao plane carries 1 + strength*(r-1) = 0.25
+        assert np.allclose(np.asarray(gb.ao)[c, c], 0.25, atol=1e-3)
+        lit = np.asarray(shade_direct(gb, m, scene.lighting_params()))
+        gb_no = gb.replace(ao=None)
+        lit_no = np.asarray(shade_direct(gb_no, m, scene.lighting_params()))
+        assert np.allclose(lit[c, c], lit_no[c, c] * 0.25, atol=1e-4)
+
+    def test_ao_strength_half(self):
+        dark = np.zeros((8, 8, 4), np.float32)
+        gb = _render_plane(Material(ao_map=dark, ao_strength=0.5))
+        c = slice(28, 36)
+        assert np.allclose(np.asarray(gb.ao)[c, c], 0.5, atol=1e-3)
+
+
 class TestGltfMaterialMaps:
     def test_loader_parses_normal_and_mr(self, tmp_path):
         import base64
