@@ -198,8 +198,8 @@ def build_effects(names, aa: str):
     from realism_effects_tpu import (
         BloomEffect, GradualBackgroundEffect, GTAOEffect, HBAOEffect,
         LensDistortionEffect, LUT3DEffect, MotionBlurEffect, SharpnessEffect,
-        SparkleEffect, SSGIEffect, SSREffect, TAAPass, ToneMappingEffect,
-        TRAAEffect, VignetteEffect, load_lut_3dl,
+        FXAAEffect, SparkleEffect, SSGIEffect, SSREffect, TAAPass,
+        ToneMappingEffect, TRAAEffect, VignetteEffect, load_lut_3dl,
     )
 
     def lut():
@@ -224,6 +224,7 @@ def build_effects(names, aa: str):
         "lut": lut,
         "traa": lambda: TRAAEffect(),
         "taa": lambda: TAAPass(),
+        "fxaa": lambda: FXAAEffect(),
     }
     if names == ["full"]:
         # the reference demo's exact stack + ordering (`main.js:510-539`):
@@ -237,6 +238,8 @@ def build_effects(names, aa: str):
         effects.append(TRAAEffect())
     elif aa == "taa":
         effects.append(TAAPass())
+    elif aa == "fxaa":
+        effects.append(FXAAEffect())
     return effects
 
 
@@ -246,7 +249,7 @@ def main():
                     help="showcase | traa_test | ao | gltf | dynamic | "
                          "sponza | asset:<path-to-glb>")
     ap.add_argument("--effects", default="ssgi,hbao")
-    ap.add_argument("--aa", default="traa", choices=["traa", "taa", "none"])
+    ap.add_argument("--aa", default="traa", choices=["traa", "taa", "fxaa", "none"])
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default="/tmp/re_tpu_demo")

@@ -19,6 +19,7 @@ from .core.envmap import (
 from .core.framebuffers import GBuffer, VelocityBuffer
 from .effects.ao import AOEffect, GTAOEffect, HBAOEffect
 from .effects.base import Effect
+from .effects.fxaa import FXAAEffect
 from .effects.finishing import (
     GradualBackgroundEffect, LensDistortionEffect, SharpnessEffect,
     SparkleEffect,
@@ -57,6 +58,7 @@ __all__ = [
     # postprocessing-package companions the reference demo stacks with
     # (`example/main.js:465-476,510-539`)
     "BloomEffect", "VignetteEffect", "ToneMappingEffect", "LUT3DEffect",
+    "FXAAEffect",
     "load_lut_3dl",
     "temporal_reproject", "TemporalReprojectConfig",
     "poisson_denoise", "PoissonDenoiseConfig",

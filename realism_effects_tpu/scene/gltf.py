@@ -37,8 +37,10 @@ the native analog of the reference example's three.js mixer usage
 (`/root/reference/example/main.js:949-957`). Use
 :func:`load_gltf_asset` to get the meshes *plus* the animation state.
 
-Out of scope (raises/skips with a warning): meshopt compression,
-other KHR extensions, sparse accessors, non-triangle modes.
+Sparse accessors (glTF 2.0 §3.6.2.3, common for morph-target deltas)
+resolve their overlay at load. Out of scope (raises/skips with a
+warning): meshopt compression, other KHR extensions, non-triangle
+modes.
 
 ``write_glb`` exports Mesh lists back to a valid minimal GLB — used to
 generate the committed demo fixture and for loader round-trip tests.
@@ -106,26 +108,43 @@ def _load_buffers(gltf: dict, bin_chunk, base_dir: str):
 
 def _accessor(gltf: dict, buffers, index: int) -> np.ndarray:
     acc = gltf["accessors"][index]
-    if "sparse" in acc:
-        raise ValueError("sparse accessors not supported")
     n_comp = _TYPE_COUNTS[acc["type"]]
     dtype = _COMPONENT_DTYPES[acc["componentType"]]
     count = acc["count"]
     if "bufferView" not in acc:
-        return np.zeros((count, n_comp), dtype)
-    view = gltf["bufferViews"][acc["bufferView"]]
-    buf = buffers[view["buffer"]]
-    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    itemsize = np.dtype(dtype).itemsize * n_comp
-    stride = view.get("byteStride") or itemsize
-    if stride == itemsize:
-        raw = np.frombuffer(buf, dtype, count=count * n_comp, offset=start)
-        out = raw.reshape(count, n_comp)
+        out = np.zeros((count, n_comp), dtype)
     else:
-        out = np.empty((count, n_comp), dtype)
-        for i in range(count):
-            out[i] = np.frombuffer(buf, dtype, count=n_comp,
-                                   offset=start + i * stride)
+        view = gltf["bufferViews"][acc["bufferView"]]
+        buf = buffers[view["buffer"]]
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        itemsize = np.dtype(dtype).itemsize * n_comp
+        stride = view.get("byteStride") or itemsize
+        if stride == itemsize:
+            raw = np.frombuffer(buf, dtype, count=count * n_comp,
+                                offset=start)
+            out = raw.reshape(count, n_comp)
+        else:
+            out = np.empty((count, n_comp), dtype)
+            for i in range(count):
+                out[i] = np.frombuffer(buf, dtype, count=n_comp,
+                                       offset=start + i * stride)
+    if "sparse" in acc:
+        # sparse overlay (glTF 2.0 §3.6.2.3): indices+values substitute
+        # into the (possibly zero-initialized) base array
+        sp = acc["sparse"]
+        n = sp["count"]
+        out = out.copy()
+
+        def read(block, bdtype, bcomp):
+            view = gltf["bufferViews"][block["bufferView"]]
+            buf = buffers[view["buffer"]]
+            off = view.get("byteOffset", 0) + block.get("byteOffset", 0)
+            return np.frombuffer(buf, bdtype, count=n * bcomp, offset=off)
+
+        idx = read(sp["indices"],
+                   _COMPONENT_DTYPES[sp["indices"]["componentType"]], 1)
+        vals = read(sp["values"], dtype, n_comp).reshape(n, n_comp)
+        out[idx.astype(np.int64)] = vals
     if acc.get("normalized"):
         info = np.iinfo(dtype)
         out = out.astype(np.float32) / float(info.max)

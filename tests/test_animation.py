@@ -353,6 +353,52 @@ class TestLoaderAnimation:
             np.asarray(mesh.prev_bone_matrices[0])[:3, :3], rot, atol=1e-6)
 
 
+class TestSparseAccessor:
+    def test_sparse_morph_deltas(self, tmp_path):
+        """Sparse accessors (glTF §3.6.2.3) overlay indexed values on a
+        zero base — the spec's canonical use is morph-target deltas."""
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        sparse_vals = np.array([[0, 0, 5]], np.float32)   # vertex 1 only
+        sparse_idx = np.array([1], np.uint16)
+        blob = (pos.tobytes() + sparse_vals.tobytes()
+                + sparse_idx.tobytes())
+        doc = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [{"primitives": [{
+                "attributes": {"POSITION": 0},
+                "targets": [{"POSITION": 1}]}]}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3,
+                 "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+                {"componentType": 5126, "count": 3, "type": "VEC3",
+                 "sparse": {
+                     "count": 1,
+                     "indices": {"bufferView": 2, "componentType": 5123},
+                     "values": {"bufferView": 1},
+                 }},
+            ],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 36, "byteLength": 12},
+                {"buffer": 0, "byteOffset": 48, "byteLength": 2},
+            ],
+            "buffers": [{
+                "uri": "data:application/octet-stream;base64,"
+                       + base64.b64encode(blob).decode(),
+                "byteLength": len(blob)}],
+        }
+        path = os.path.join(str(tmp_path), "sparse.gltf")
+        with open(path, "w") as f:
+            json.dump(doc, f)
+        asset = load_gltf_asset(path)
+        mp = asset.meshes[0].morph_positions
+        assert mp.shape == (1, 3, 3)
+        assert np.allclose(mp[0], [[0, 0, 0], [0, 0, 5], [0, 0, 0]])
+
+
 REF_TRAA = ("/root/reference/example/public/gltf/"
             "traa_demo_scene.optimized.glb")
 
