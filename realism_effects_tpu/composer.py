@@ -67,26 +67,29 @@ class UniformLayout:
     """Flat float32 per-frame constant buffer: host packs, device slices."""
 
     def __init__(self):
-        self.slots: dict[str, tuple[int, tuple]] = {}
+        self.slots: dict[str, tuple[int, int, tuple]] = {}
         self.size = 0
 
     def add(self, name: str, shape: tuple = ()):  # noqa: D401
         n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        self.slots[name] = (self.size, shape)
+        self.slots[name] = (self.size, n, shape)
         self.size += n
         return self
 
     def pack(self, values: dict) -> np.ndarray:
-        buf = np.zeros(self.size, np.float32)
-        for name, (off, shape) in self.slots.items():
-            v = np.asarray(values[name], np.float32)
-            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-            buf[off: off + n] = v.reshape(-1)
+        # hot path: runs every frame on the host. Slot extents are
+        # precomputed at add(); scalars assign directly and arrays
+        # convert dtype on assignment (no intermediate asarray copies)
+        buf = np.empty(self.size, np.float32)
+        for name, (off, n, _shape) in self.slots.items():
+            if n == 1:
+                buf[off] = values[name]
+            else:
+                buf[off: off + n] = np.ravel(values[name])
         return buf
 
     def get(self, buf: jnp.ndarray, name: str) -> jnp.ndarray:
-        off, shape = self.slots[name]
-        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        off, n, shape = self.slots[name]
         v = jax.lax.dynamic_slice_in_dim(buf, off, n)
         return v.reshape(shape) if shape else v[0]
 
@@ -103,13 +106,24 @@ def _add_camera_slots(layout: UniformLayout, prefix: str):
     layout.add(f"{prefix}.far")
 
 
+def _rigid_inverse(m: np.ndarray) -> np.ndarray:
+    """Inverse of a rigid transform (R | t): (R^T | -R^T t). Camera
+    world matrices are rigid, so this replaces np.linalg.inv in the
+    per-frame hot path."""
+    out = np.eye(4)
+    rt = m[:3, :3].T
+    out[:3, :3] = rt
+    out[:3, 3] = -rt @ m[:3, 3]
+    return out
+
+
 def _pack_camera(values: dict, prefix: str, camera: Camera,
                  matrix_world: np.ndarray, projection: np.ndarray):
     proj = np.asarray(projection, np.float64)
     world = np.asarray(matrix_world, np.float64)
     values[f"{prefix}.projection_matrix"] = proj
     values[f"{prefix}.projection_matrix_inverse"] = np.linalg.inv(proj)
-    values[f"{prefix}.view_matrix"] = np.linalg.inv(world)
+    values[f"{prefix}.view_matrix"] = _rigid_inverse(world)
     values[f"{prefix}.camera_matrix_world"] = world
     values[f"{prefix}.position"] = world[:3, 3]
     values[f"{prefix}.near"] = camera.near
