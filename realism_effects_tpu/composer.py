@@ -226,6 +226,19 @@ class EffectComposer:
         like `TemporalReprojectPass.js:158-160`)."""
         self._reset_pending = True
 
+    def set_size(self, width: int, height: int):
+        """Resize the frame (``EffectComposer.setSize`` /
+        ``Pass.setSize`` analog): rebuilds the jitted stages for the new
+        static shapes and discards temporal state (the reference
+        reallocates every render target, losing history the same way)."""
+        if (width, height) == (self.width, self.height):
+            return
+        self.width = width
+        self.height = height
+        self._raster_stage = None
+        self._state = None
+        self._reset_pending = True
+
     # ------------------------------------------------------------------
     def _init_state(self):
         state = {

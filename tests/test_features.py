@@ -130,3 +130,29 @@ class TestDefaultsParity:
         assert e.neighborhood_clamp_intensity == 1.0
         assert e.cfg.confidence_power == 4.0
         assert e.cfg.log_transform
+
+
+def test_set_size_rebuilds_and_resets():
+    """EffectComposer.set_size analog of the reference's setSize chain
+    (render targets reallocate, history resets)."""
+    import numpy as np
+
+    from realism_effects_tpu import (
+        EffectComposer, HBAOEffect, Material, PerspectiveCamera, Scene,
+        TRAAEffect, build_equirect_env, make_plane, procedural_sky,
+    )
+
+    scene = Scene()
+    scene.environment = build_equirect_env(procedural_sky(16, 32))
+    scene.add(make_plane(10, Material()))
+    cam = PerspectiveCamera(50, 1, 0.1, 100)
+    cam.set_position(0, 2, 3)
+    cam.look_at((0, 0, 0))
+    c = EffectComposer(scene, cam, 48, 48)
+    c.add_effect(HBAOEffect())
+    c.add_effect(TRAAEffect())
+    assert np.asarray(c.render()).shape == (48, 48, 3)
+    c.set_size(64, 64)
+    out = np.asarray(c.render())
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(out).all()
