@@ -157,7 +157,32 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
         [jnp.stack(c0, -1), jnp.stack(c1, -1), jnp.stack(c2, -1)], axis=1
     )  # (F', 3 edges, 3 coeffs)
 
+    # degenerate-sliver protection. Assets ship point/line-degenerate
+    # triangles (e.g. amg has tris with three identical verts); their
+    # edge coefficients are pure f32 cancellation noise — three almost-
+    # parallel half-planes whose tests cover a thin line across the
+    # WHOLE screen (radial-streak artifacts). Two guards:
+    # (a) cull true-noise triangles: det = 2 * A_px * w0*w1*w2, so
+    #     require |A| > 1e-6 px^2 (scale-invariant ratio test);
+    # (b) clamp coverage to the triangle's projected bbox (+1 px guard)
+    #     when all verts are in front of the camera — a degenerate tri
+    #     then covers at most its own footprint. Triangles crossing
+    #     w = 0 keep an unbounded bbox (their smear is geometrically
+    #     real) and rely on the per-pixel w test.
+    wprod = tri_w[:, 0] * tri_w[:, 1] * tri_w[:, 2]
     valid_tri = (jnp.abs(det) > 1e-14) & (tri_ids >= 0)
+    valid_tri &= jnp.abs(det) > 2e-6 * jnp.abs(wprod)
+    w_safe = jnp.where(jnp.abs(tri_h[..., 2]) > 1e-20, tri_h[..., 2], 1e-20)
+    px_v = tri_h[..., 0] / w_safe                      # (F', 3)
+    py_v = tri_h[..., 1] / w_safe
+    w_pos = jnp.all(tri_h[..., 2] > 1e-12, axis=1)
+    inf = jnp.float32(jnp.inf)
+    tri_bbox = jnp.stack([
+        jnp.where(w_pos, px_v.min(1) - 1.0, -inf),
+        jnp.where(w_pos, px_v.max(1) + 1.0, inf),
+        jnp.where(w_pos, py_v.min(1) - 1.0, -inf),
+        jnp.where(w_pos, py_v.max(1) + 1.0, inf),
+    ], axis=-1)                                        # (F', 4)
     sgn = jnp.where(det >= 0.0, 1.0, -1.0)
     if tri_alpha is not None:
         alpha_p = jnp.concatenate(
@@ -168,6 +193,7 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
     scan_in = {
         "coef": chunk(coeffs), "z": chunk(tri_z), "w": chunk(tri_w),
         "sgn": chunk(sgn), "valid": chunk(valid_tri), "ids": chunk(tri_ids),
+        "bbox": chunk(tri_bbox),
     }
     if tri_alpha is not None:
         scan_in["alpha"] = chunk(alpha_p)
@@ -189,6 +215,9 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
             s = inp["sgn"][None, None, :]
             covered = (e0 * s >= 0.0) & (e1 * s >= 0.0) & (e2 * s >= 0.0)
             covered &= inp["valid"][None, None, :]
+            bb = inp["bbox"]
+            covered &= (pxg >= bb[:, 0]) & (pxg <= bb[:, 1]) \
+                & (pyg >= bb[:, 2]) & (pyg <= bb[:, 3])
 
             cw, cz = inp["w"], inp["z"]
             zw = e0 * cw[:, 0] + e1 * cw[:, 1] + e2 * cw[:, 2]  # sum e_i*w_i
