@@ -83,7 +83,11 @@ class UniformLayout:
         buf = np.empty(self.size, np.float32)
         for name, (off, n, _shape) in self.slots.items():
             if n == 1:
-                buf[off] = values[name]
+                v = values[name]
+                # .item() coerces 0-d/1-element arrays to a python
+                # scalar: assigning those directly is a NumPy
+                # DeprecationWarning (future hard error)
+                buf[off] = v.item() if hasattr(v, "item") else v
             else:
                 buf[off: off + n] = np.ravel(values[name])
         return buf

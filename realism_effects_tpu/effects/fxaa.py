@@ -41,15 +41,23 @@ def fxaa(color: jnp.ndarray) -> jnp.ndarray:
     def lum_at(duv):
         return _luma(sample_bilinear(color, uv + duv * inv))
 
+    # edge-clamped 3x3 neighborhood: GLSL texture fetches clamp at the
+    # border; jnp.roll would wrap luma across the frame and let a bright
+    # feature on one edge trigger blending on the opposite one
+    pad = jnp.pad(luma, 1, mode="edge")
+
+    def nb(dy, dx):
+        return pad[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+
     l_c = luma
-    l_n = jnp.roll(luma, 1, axis=0)    # row-1 = v-down? rows: 0 = v0
-    l_s = jnp.roll(luma, -1, axis=0)
-    l_w = jnp.roll(luma, 1, axis=1)
-    l_e = jnp.roll(luma, -1, axis=1)
-    l_nw = jnp.roll(l_n, 1, axis=1)
-    l_ne = jnp.roll(l_n, -1, axis=1)
-    l_sw = jnp.roll(l_s, 1, axis=1)
-    l_se = jnp.roll(l_s, -1, axis=1)
+    l_n = nb(-1, 0)
+    l_s = nb(1, 0)
+    l_w = nb(0, -1)
+    l_e = nb(0, 1)
+    l_nw = nb(-1, -1)
+    l_ne = nb(-1, 1)
+    l_sw = nb(1, -1)
+    l_se = nb(1, 1)
 
     l_min = jnp.minimum(l_c, jnp.minimum(jnp.minimum(l_n, l_s),
                                          jnp.minimum(l_w, l_e)))

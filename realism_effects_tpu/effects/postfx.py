@@ -37,15 +37,26 @@ _ACES_OUTPUT = np.array([
 ], np.float32)
 
 
+def _mat3_apply(m: np.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    # explicit per-channel weighted sums instead of (H,W,3)@(3,3): TPU
+    # f32 matmul defaults to bf16 (CLAUDE.md rule 5) and the lost
+    # mantissa bits band smooth tone-mapped gradients
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    return jnp.stack(
+        [m[0, 0] * r + m[0, 1] * g + m[0, 2] * b,
+         m[1, 0] * r + m[1, 1] * g + m[1, 2] * b,
+         m[2, 0] * r + m[2, 1] * g + m[2, 2] * b], axis=-1)
+
+
 def aces_filmic(color: jnp.ndarray, exposure: float = 1.0) -> jnp.ndarray:
     """three.js ``ACESFilmicToneMapping`` (the postprocessing
     ``ToneMappingMode.ACES_FILMIC`` path the reference demo selects at
     `main.js:513-514`)."""
     c = color * (exposure / 0.6)
-    c = c @ _ACES_INPUT.T
+    c = _mat3_apply(_ACES_INPUT, c)
     a = c * (c + 0.0245786) - 0.000090537
     b = c * (0.983729 * c + 0.4329510) + 0.238081
-    c = (a / b) @ _ACES_OUTPUT.T
+    c = _mat3_apply(_ACES_OUTPUT, a / b)
     return jnp.clip(c, 0.0, 1.0)
 
 

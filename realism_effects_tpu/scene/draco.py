@@ -1132,11 +1132,14 @@ def decode(data: bytes, prefer_native: bool = True) -> DecodedMesh:
     fallback and the cross-check (the two are bit-identical,
     ``tests/test_draco.py``)."""
     if prefer_native:
+        # A native ValueError falls through to the Python decoder: the
+        # C++ port covers difference/parallelogram prediction only,
+        # while decode_py additionally handles constrained-multi-
+        # parallelogram and portable texcoords — a user asset encoded
+        # with those must not fail just because a toolchain is present.
         try:
             from .. import native
             result = native.draco_decode(data)
-        except ValueError as e:
-            raise DracoError(str(e)) from e
         except Exception:
             result = None
         if result is not None:
