@@ -310,16 +310,31 @@ struct Connectivity {
             opposite[a] = b;
             opposite[b] = a;
         };
+        // Stream-declared counts are untrusted: every face allocation,
+        // vertex allocation, and vertex id read out of cv[] is checked
+        // before it indexes an array (a crafted stream can otherwise
+        // declare num_faces=1 and emit 200k E symbols, writing far past
+        // the allocations). The Python decoder fails cleanly on the
+        // same inputs; the two paths must stay behaviorally identical.
+        auto chk_vert = [&](int64_t v) -> int64_t {
+            if (v < 0 || v >= slots) fail("vertex id out of range");
+            return v;
+        };
+        auto alloc_vert = [&]() -> int64_t {
+            if (next_vert >= slots) fail("vertex allocation overflow");
+            return next_vert++;
+        };
 
         int64_t face = 0;
         for (int64_t i = 0; i < num_symbols; ++i) {
             int sym = symbols[i];
+            if (face >= num_faces) fail("more CLERS symbols than faces");
             int64_t corner = 3 * face;
             ++face;
             if (sym == TOP_C) {
                 if (active_stack.empty()) fail("C on empty stack");
                 int64_t corner_a = active_stack.back();
-                int64_t vertex_x = cv[next_c(corner_a)];
+                int64_t vertex_x = chk_vert(cv[next_c(corner_a)]);
                 int64_t lm = leftmost[vertex_x];
                 if (lm < 0) fail("C without leftmost");
                 int64_t corner_b = next_c(lm);
@@ -328,7 +343,7 @@ struct Connectivity {
                 cv[corner] = vertex_x;
                 cv[corner + 1] = cv[next_c(corner_b)];
                 cv[corner + 2] = cv[prev_c(corner_a)];
-                leftmost[cv[corner + 2]] = corner + 2;
+                leftmost[chk_vert(cv[corner + 2])] = corner + 2;
                 active_stack.back() = corner;
                 is_vert_hole[vertex_x] = 0;
             } else if (sym == TOP_R || sym == TOP_L) {
@@ -345,17 +360,17 @@ struct Connectivity {
                     corner_r = corner + 2;
                 }
                 set_opp(opp, corner_a);
-                int64_t v_new = next_vert++;
+                int64_t v_new = alloc_vert();
                 cv[opp] = v_new;
                 leftmost[v_new] = opp;
-                int64_t vertex_r = cv[prev_c(corner_a)];
+                int64_t vertex_r = chk_vert(cv[prev_c(corner_a)]);
                 cv[corner_r] = vertex_r;
                 leftmost[vertex_r] = corner_r;
                 cv[corner_l] = cv[next_c(corner_a)];
                 active_stack.back() = corner;
             } else if (sym == TOP_E) {
                 for (int k = 0; k < 3; ++k) {
-                    int64_t v = next_vert++;
+                    int64_t v = alloc_vert();
                     cv[corner + k] = v;
                     leftmost[v] = corner + k;
                 }
@@ -373,19 +388,21 @@ struct Connectivity {
                 int64_t corner_a = active_stack.back();
                 set_opp(corner_a, corner + 2);
                 set_opp(corner_b, corner + 1);
-                int64_t vertex_p = cv[prev_c(corner_a)];
+                int64_t vertex_p = chk_vert(cv[prev_c(corner_a)]);
                 cv[corner] = vertex_p;
                 cv[corner + 1] = cv[next_c(corner_a)];
                 cv[corner + 2] = cv[prev_c(corner_b)];
-                leftmost[cv[corner + 2]] = corner + 2;
-                int64_t vertex_n = cv[next_c(corner_b)];
+                leftmost[chk_vert(cv[corner + 2])] = corner + 2;
+                int64_t vertex_n = chk_vert(cv[next_c(corner_b)]);
                 is_vert_hole[vertex_n] = 0;
                 int64_t c = leftmost[vertex_n];
                 int64_t start = c;
+                int64_t steps = 0, max_steps = (int64_t)cv.size() + 1;
                 while (c >= 0) {
                     cv[c] = vertex_p;
                     c = swing_right(c);
                     if (c == start) break;
+                    if (++steps > max_steps) fail("vertex fan cycle");
                 }
                 leftmost[vertex_p] = leftmost[vertex_n];
                 active_stack.back() = corner;
@@ -410,16 +427,23 @@ struct Connectivity {
             if (face >= num_faces) fail("too many interior faces");
             int64_t corner = 3 * face;
             ++face;
+            int64_t steps = 0, max_steps = (int64_t)cv.size() + 1;
             int64_t corner_b = prev_c(corner_a);
-            while (opposite[corner_b] >= 0) corner_b = prev_c(opposite[corner_b]);
+            while (opposite[corner_b] >= 0) {
+                corner_b = prev_c(opposite[corner_b]);
+                if (++steps > max_steps) fail("boundary walk cycle");
+            }
             int64_t corner_cc = next_c(corner_a);
-            while (opposite[corner_cc] >= 0) corner_cc = next_c(opposite[corner_cc]);
+            while (opposite[corner_cc] >= 0) {
+                corner_cc = next_c(opposite[corner_cc]);
+                if (++steps > max_steps) fail("boundary walk cycle");
+            }
             set_opp(corner, corner_a);
             set_opp(corner + 1, corner_b);
             set_opp(corner + 2, corner_cc);
-            int64_t vert_a = cv[next_c(corner_a)];
-            int64_t vert_b = cv[next_c(corner_b)];
-            int64_t vert_cc = cv[next_c(corner_cc)];
+            int64_t vert_a = chk_vert(cv[next_c(corner_a)]);
+            int64_t vert_b = chk_vert(cv[next_c(corner_b)]);
+            int64_t vert_cc = chk_vert(cv[next_c(corner_cc)]);
             cv[corner] = vert_b;
             cv[corner + 1] = vert_cc;
             cv[corner + 2] = vert_a;
@@ -838,8 +862,17 @@ static MeshOut *decode_mesh(const uint8_t *data, int64_t size) {
     int num_attribute_data = b.u8();
     int64_t num_symbols = (int64_t)b.varint();
     int64_t num_split_symbols = (int64_t)b.varint();
+    // sanity-cap stream-declared counts: every face/symbol/vertex
+    // consumes at least one bit of payload, so anything beyond 8*size
+    // is a lie (and unchecked would overflow 3*num_faces or trigger
+    // multi-GB allocations from a few-byte stream)
+    int64_t max_count = 8 * size;
+    if (num_encoded_vertices > max_count || num_faces > max_count ||
+        num_symbols > max_count || num_split_symbols > max_count)
+        fail("declared counts exceed stream capacity");
 
     int64_t n_splits = (int64_t)b.varint();
+    if (n_splits > max_count) fail("declared counts exceed stream capacity");
     std::vector<std::array<int64_t, 3>> events;
     int64_t last_src = 0;
     for (int64_t i = 0; i < n_splits; ++i) {
@@ -915,14 +948,17 @@ static MeshOut *decode_mesh(const uint8_t *data, int64_t size) {
         }
     }
 
-    // ---- corner -> point (first-encounter order of unique wedge tuples)
+    // ---- corner -> point (first-encounter order of unique wedge tuples,
+    // refined by swing connectivity — mirror of decode_py; see its
+    // comment on upstream's AssignPointsToCorners fan-walk semantics)
     int64_t n_corners = 3 * num_faces;
     std::vector<int64_t> corner_to_point(n_corners, -1);
     {
         // hash tuples (vertex, wedge ids of built views in att-data order)
         std::unordered_map<uint64_t, std::vector<int64_t>> buckets;
         std::vector<int64_t> key(1 + num_attribute_data);
-        std::vector<std::vector<int64_t>> point_keys;
+        std::vector<std::vector<int64_t>> tuple_keys;
+        std::vector<int64_t> corner_tuple(n_corners, -1);
         for (int64_t c = 0; c < n_corners; ++c) {
             key[0] = conn.cv[c];
             for (int a = 0; a < num_attribute_data; ++a)
@@ -932,22 +968,52 @@ static MeshOut *decode_mesh(const uint8_t *data, int64_t size) {
                 h ^= (uint64_t)k + 0x9e3779b97f4a7c15ull;
                 h *= 1099511628211ull;
             }
-            int64_t pid = -1;
+            int64_t tid = -1;
             auto &bucket = buckets[h];
             for (int64_t cand : bucket) {
-                if (point_keys[cand] == key) {
-                    pid = cand;
+                if (tuple_keys[cand] == key) {
+                    tid = cand;
                     break;
                 }
             }
-            if (pid < 0) {
-                pid = (int64_t)point_keys.size();
-                point_keys.push_back(key);
-                bucket.push_back(pid);
+            if (tid < 0) {
+                tid = (int64_t)tuple_keys.size();
+                tuple_keys.push_back(key);
+                bucket.push_back(tid);
             }
-            corner_to_point[c] = pid;
+            corner_tuple[c] = tid;
         }
-        out->num_points = (int64_t)point_keys.size();
+        // union-find: corners with equal tuples that are swing_right-
+        // adjacent share a point; equal tuples in disconnected fan
+        // sectors stay distinct (upstream's duplicate-point retention)
+        std::vector<int64_t> parent(n_corners);
+        for (int64_t c = 0; c < n_corners; ++c) parent[c] = c;
+        auto find = [&](int64_t x) {
+            int64_t root = x;
+            while (parent[root] != root) root = parent[root];
+            while (parent[x] != root) {
+                int64_t nxt = parent[x];
+                parent[x] = root;
+                x = nxt;
+            }
+            return root;
+        };
+        for (int64_t c = 0; c < n_corners; ++c) {
+            int64_t o = conn.opposite[prev_c(c)];
+            if (o < 0) continue;
+            int64_t r = prev_c(o);  // swing_right(c)
+            if (corner_tuple[r] != corner_tuple[c]) continue;
+            int64_t ra = find(c), rb = find(r);
+            if (ra != rb) parent[rb] = ra;
+        }
+        std::vector<int64_t> point_of_root(n_corners, -1);
+        int64_t num_points = 0;
+        for (int64_t c = 0; c < n_corners; ++c) {
+            int64_t root = find(c);
+            if (point_of_root[root] < 0) point_of_root[root] = num_points++;
+            corner_to_point[c] = point_of_root[root];
+        }
+        out->num_points = num_points;
     }
     out->faces.resize(n_corners);
     for (int64_t c = 0; c < n_corners; ++c) out->faces[c] = (int32_t)corner_to_point[c];

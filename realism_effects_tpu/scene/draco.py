@@ -366,7 +366,16 @@ class _Connectivity:
 
     def new_vertex(self):
         v = self.next_vert
+        if v >= len(self.is_vert_hole):
+            raise DracoError("vertex allocation overflow")
         self.next_vert += 1
+        return v
+
+    def chk_vert(self, v):
+        # vertex ids read back out of cv[] are untrusted: -1 (unset)
+        # would silently wrap as a negative numpy index
+        if v < 0 or v >= len(self.is_vert_hole):
+            raise DracoError("vertex id out of range")
         return v
 
     def decode(self, symbols, split_events, start_face_bits: RAnsBitDecoder,
@@ -385,21 +394,32 @@ class _Connectivity:
         face = 0
         for i in range(nsym):
             sym = symbols[i]
+            if face >= self.num_faces:
+                # stream-declared counts are untrusted (crafted streams
+                # can emit more symbols than declared faces)
+                raise DracoError("more CLERS symbols than faces")
             corner = 3 * face
             face += 1
             if sym == TOPOLOGY_C:
+                if not self.active_stack:
+                    raise DracoError("C on empty stack")
                 corner_a = self.active_stack[-1]
-                vertex_x = t.cv[_next(corner_a)]
-                corner_b = _next(t.leftmost[vertex_x])
+                vertex_x = self.chk_vert(t.cv[_next(corner_a)])
+                lm = t.leftmost[vertex_x]
+                if lm < 0:
+                    raise DracoError("C without leftmost")
+                corner_b = _next(lm)
                 t.set_opposite(corner_a, corner + 1)
                 t.set_opposite(corner_b, corner + 2)
                 t.cv[corner] = vertex_x
                 t.cv[corner + 1] = t.cv[_next(corner_b)]
                 t.cv[corner + 2] = t.cv[_prev(corner_a)]
-                t.leftmost[t.cv[corner + 2]] = corner + 2
+                t.leftmost[self.chk_vert(t.cv[corner + 2])] = corner + 2
                 self.active_stack[-1] = corner
                 self.is_vert_hole[vertex_x] = False
             elif sym == TOPOLOGY_R or sym == TOPOLOGY_L:
+                if not self.active_stack:
+                    raise DracoError("R/L on empty stack")
                 corner_a = self.active_stack[-1]
                 if sym == TOPOLOGY_R:
                     opp, corner_l, corner_r = corner + 2, corner + 1, corner
@@ -409,7 +429,7 @@ class _Connectivity:
                 v_new = self.new_vertex()
                 t.cv[opp] = v_new
                 t.leftmost[v_new] = opp
-                vertex_r = t.cv[_prev(corner_a)]
+                vertex_r = self.chk_vert(t.cv[_prev(corner_a)])
                 t.cv[corner_r] = vertex_r
                 t.leftmost[vertex_r] = corner_r
                 t.cv[corner_l] = t.cv[_next(corner_a)]
@@ -421,29 +441,38 @@ class _Connectivity:
                     t.leftmost[v] = corner + k
                 self.active_stack.append(corner)
             elif sym == TOPOLOGY_S:
+                if not self.active_stack:
+                    raise DracoError("S on empty stack")
                 corner_b = self.active_stack.pop()
                 reg = self.split_corners.pop(i, None)
                 if reg is not None:
                     self.active_stack.append(reg)
+                if not self.active_stack:
+                    raise DracoError("S without second corner")
                 corner_a = self.active_stack[-1]
                 t.set_opposite(corner_a, corner + 2)
                 t.set_opposite(corner_b, corner + 1)
-                vertex_p = t.cv[_prev(corner_a)]
+                vertex_p = self.chk_vert(t.cv[_prev(corner_a)])
                 t.cv[corner] = vertex_p
                 t.cv[corner + 1] = t.cv[_next(corner_a)]
                 t.cv[corner + 2] = t.cv[_prev(corner_b)]
-                t.leftmost[t.cv[corner + 2]] = corner + 2
+                t.leftmost[self.chk_vert(t.cv[corner + 2])] = corner + 2
                 # merge Vertex(Next(corner_b)) into vertex_p; walk its
                 # whole fan (boundary fan: walk CW from its leftmost end)
-                vertex_n = t.cv[_next(corner_b)]
+                vertex_n = self.chk_vert(t.cv[_next(corner_b)])
                 self.is_vert_hole[vertex_n] = False
                 c = t.leftmost[vertex_n]
                 start = c
+                steps = 0
+                max_steps = len(t.cv) + 1
                 while c >= 0:
                     t.cv[c] = vertex_p
                     c = t.swing_right(c)
                     if c == start:
                         break
+                    steps += 1
+                    if steps > max_steps:
+                        raise DracoError("vertex fan cycle")
                 t.leftmost[vertex_p] = t.leftmost[vertex_n]
                 self.active_stack[-1] = corner
             else:
@@ -464,18 +493,26 @@ class _Connectivity:
             corner = 3 * face
             face += 1
             self.interior_start_faces.append(face - 1)
+            steps = 0
+            max_steps = len(t.cv) + 1
             corner_b = _prev(corner_a)
             while t.opposite[corner_b] >= 0:
                 corner_b = _prev(t.opposite[corner_b])
+                steps += 1
+                if steps > max_steps:
+                    raise DracoError("boundary walk cycle")
             corner_c = _next(corner_a)
             while t.opposite[corner_c] >= 0:
                 corner_c = _next(t.opposite[corner_c])
+                steps += 1
+                if steps > max_steps:
+                    raise DracoError("boundary walk cycle")
             t.set_opposite(corner, corner_a)
             t.set_opposite(corner + 1, corner_b)
             t.set_opposite(corner + 2, corner_c)
-            vert_a = t.cv[_next(corner_a)]   # == cv[prev(corner_b)]
-            vert_b = t.cv[_next(corner_b)]   # == cv[prev(corner_c)]
-            vert_c = t.cv[_next(corner_c)]   # == cv[prev(corner_a)]
+            vert_a = self.chk_vert(t.cv[_next(corner_a)])  # == cv[prev(corner_b)]
+            vert_b = self.chk_vert(t.cv[_next(corner_b)])  # == cv[prev(corner_c)]
+            vert_c = self.chk_vert(t.cv[_next(corner_c)])  # == cv[prev(corner_a)]
             t.cv[corner] = vert_b
             t.cv[corner + 1] = vert_c
             t.cv[corner + 2] = vert_a
@@ -1175,8 +1212,17 @@ def decode_py(data: bytes) -> DecodedMesh:
     num_attribute_data = buf.u8()
     num_symbols = buf.varint()
     num_split_symbols = buf.varint()
+    # sanity-cap stream-declared counts: every face/symbol/vertex costs
+    # at least one bit of payload, so anything beyond 8*len(data) is a
+    # lie (unchecked, a few-byte stream could demand multi-GB arrays)
+    max_count = 8 * len(data)
+    if max(num_encoded_vertices, num_faces, num_symbols,
+           num_split_symbols) > max_count:
+        raise DracoError("declared counts exceed stream capacity")
 
     n_splits = buf.varint()
+    if n_splits > max_count:
+        raise DracoError("declared counts exceed stream capacity")
     events = []
     last_src = 0
     for _ in range(n_splits):
@@ -1255,15 +1301,46 @@ def decode_py(data: bytes) -> DecodedMesh:
     keys[:, 0] = table.cv
     for j, (aid, view) in enumerate(sorted(att_views.items())):
         keys[:, 1 + j] = view.cv
-    uniq, first_idx, corner_to_point = np.unique(
-        keys, axis=0, return_index=True, return_inverse=True)
-    # renumber points in first-encounter (corner) order so the native
-    # C++ decoder (hash map over corners) produces identical output
-    order = np.argsort(first_idx, kind="stable")
-    rank = np.empty(len(order), np.int64)
-    rank[order] = np.arange(len(order))
-    corner_to_point = rank[corner_to_point]
-    num_points = len(uniq)
+    _, corner_tuple = np.unique(keys, axis=0, return_inverse=True)
+    # Upstream assigns points by walking each vertex's corner fan
+    # (MeshEdgebreakerDecoderImpl::AssignPointsToCorners), so corners
+    # with identical (vertex, wedge) tuples that lie in swing-
+    # DISCONNECTED sectors of the fan stay distinct points (duplicate-
+    # point retention in the S-merge/hole bookkeeping case; 2 points on
+    # 2 chevrolet primitives). Refine the tuple groups by connectivity
+    # under swing_right before assigning point ids.
+    parent = np.arange(n_corners, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    opp = table.opposite
+    for c in range(n_corners):
+        o = opp[_prev(c)]
+        if o < 0:
+            continue
+        r = _prev(o)  # swing_right(c)
+        if corner_tuple[r] == corner_tuple[c]:
+            ra, rb = find(c), find(r)
+            if ra != rb:
+                parent[rb] = ra
+    # point ids in first-encounter (corner) order so the native C++
+    # decoder (same scan over corners) produces identical output
+    corner_to_point = np.empty(n_corners, np.int64)
+    point_of_root: dict[int, int] = {}
+    for c in range(n_corners):
+        root = find(c)
+        pid = point_of_root.get(root)
+        if pid is None:
+            pid = len(point_of_root)
+            point_of_root[root] = pid
+        corner_to_point[c] = pid
+    num_points = len(point_of_root)
     faces = corner_to_point.reshape(-1, 3).astype(np.int32)
 
     # representative corner per point (for value lookups)
