@@ -153,16 +153,42 @@ class SSGIEffect(Effect):
         u = ctx.params[self.name]
         g = ctx.params["__global__"]
 
+        # 0. Selection: the reference renders the GI G-buffer with only
+        #    the selected camera layers (`SSGIPass.js:71-79`), so
+        #    excluded meshes are absent from every GI input — they
+        #    neither occlude rays nor appear in reflections, and their
+        #    pixels read as background (scene color passes through in
+        #    step 5). Derive that restricted G-buffer by sending
+        #    gi_exclude pixels to background.
+        gbuffer = ctx.gbuffer
+        mesh_id = getattr(gbuffer, "mesh_id", None)
+        gi_w = g.get("gi_mask_meshes")
+        if mesh_id is not None and gi_w is not None:
+            sel = jnp.where(
+                mesh_id >= 0, gi_w[jnp.maximum(mesh_id, 0)], 1.0) > 0.5
+            s1 = sel[..., None]
+            gbuffer = GBuffer(
+                diffuse=jnp.where(s1, gbuffer.diffuse, 0.0),
+                normal=jnp.where(s1, gbuffer.normal, 0.0),
+                roughness=jnp.where(sel, gbuffer.roughness, 0.0),
+                metalness=jnp.where(sel, gbuffer.metalness, 0.0),
+                emissive=jnp.where(s1, gbuffer.emissive, 0.0),
+                depth=jnp.where(sel, gbuffer.depth, 1.0),
+                mesh_id=jnp.where(sel, mesh_id, -1),
+                ao=None if gbuffer.ao is None
+                else jnp.where(sel, gbuffer.ao, 1.0),
+            )
+
         # 1. stochastic trace; radiance feedback = last frame's composed
         #    output (`SSGIPass.js:88`). With resolution_scale < 1 the trace
         #    runs on a downsampled G-buffer and the result is upsampled
         #    (the reference's SSGIPass renderTarget scaling,
         #    `SSGIPass.js:52-57`).
         if self.resolution_scale < 1.0:
-            h, w = ctx.gbuffer.depth.shape
+            h, w = gbuffer.depth.shape
             h2 = max(int(h * self.resolution_scale), 8)
             w2 = max(int(w * self.resolution_scale), 8)
-            gb_lo = _resize_gbuffer(ctx.gbuffer, h2, w2)
+            gb_lo = _resize_gbuffer(gbuffer, h2, w2)
             vel_lo = _resize_velocity(ctx.velocity, h2, w2)
             acc_lo = _resize_bilinear(state["composed"], h2, w2)
             color_lo = _resize_bilinear(color, h2, w2)
@@ -178,7 +204,7 @@ class SSGIEffect(Effect):
             g_specular = _resize_bilinear(g_specular, h, w)
         else:
             g_diffuse, g_specular = ssgi(
-                ctx.gbuffer, ctx.velocity, state["composed"], color,
+                gbuffer, ctx.velocity, state["composed"], color,
                 ctx.env, ctx.cam, ctx.frame_index, self.cfg,
                 ray_distance=u["ray_distance"], thickness=u["thickness"],
                 env_blur=u["env_blur"],
@@ -196,13 +222,13 @@ class SSGIEffect(Effect):
             neighborhood_clamp_intensity=0.5,
             full_accumulate=~g["camera_moved"],
             keep_data=g["keep_data"],
-            roughness_tex=ctx.gbuffer.roughness,
+            roughness_tex=gbuffer.roughness,
         )
 
         # 3. spatial Poisson denoise (skipped for *_temporal modes)
         if self.denoise_mode in ("full", "denoised"):
             denoised = poisson_denoise(
-                temporal, ctx.gbuffer, ctx.frame_index, self.denoise_cfg
+                temporal, gbuffer, ctx.frame_index, self.denoise_cfg
             )
         else:
             denoised = temporal
@@ -218,28 +244,19 @@ class SSGIEffect(Effect):
             scene_tex = color
             input_type = "specular"
         composed = denoiser_compose(
-            d_gi, s_gi, ctx.gbuffer, ctx.cam,
+            d_gi, s_gi, gbuffer, ctx.cam,
             scene_color=scene_tex, input_type=input_type,
         )
 
         # 5. composite over the scene + optional fog (K13)
         out = ssgi_compose(
-            composed, color, ctx.gbuffer.depth, ctx.cam,
+            composed, color, gbuffer.depth, ctx.cam,
             fog_color=self.fog_color, fog_density=self.fog_density,
         )
 
-        # 6. selection mask: pixels of gi_exclude meshes keep plain scene
-        #    color — the per-pixel analog of the reference restricting the
-        #    GI G-buffer to selected camera layers (`SSGIPass.js:71-79`).
-        #    (Approximation noted in PARITY.md: excluded geometry still
-        #    occludes rays and appears in reflections, unlike layers.)
-        mesh_id = getattr(ctx.gbuffer, "mesh_id", None)
-        gi_w = g.get("gi_mask_meshes")
-        if mesh_id is not None and gi_w is not None:
-            mask = jnp.where(
-                mesh_id >= 0, gi_w[jnp.maximum(mesh_id, 0)], 1.0
-            )
-            out = jnp.where(mask[..., None] > 0.5, out, color)
+        # (no per-pixel restore step needed: the masked G-buffer makes
+        # excluded pixels background, so step 5 already passes scene
+        # color through for them, exactly like the reference)
 
         new_state = {"history": denoised, "composed": composed}
 

@@ -76,3 +76,59 @@ def test_included_mesh_receives_gi():
 def test_gi_mask_vector():
     scene, _ = _scene(exclude_box=True)
     np.testing.assert_array_equal(scene.gi_mask(), [1.0, 1.0, 0.0])
+
+
+def _mirror_scene(box: str):
+    """Mirror floor + bright emissive box standing on it, nothing behind
+    the box. ``box``: "included" | "excluded" | "absent"."""
+    scene = Scene()
+    scene.add(make_plane(20, Material(
+        diffuse=(0.9, 0.9, 0.9, 1.0), metalness=1.0, roughness=0.03)))
+    if box != "absent":
+        b = scene.add(make_box(
+            (1.0, 2.0, 1.0),
+            Material(diffuse=(1.0, 1.0, 1.0, 1.0),
+                     emissive=(12.0, 12.0, 12.0))))
+        b.set_matrix(translation(0, 1.0, -1.5))
+        b.gi_exclude = (box == "excluded")
+    cam = PerspectiveCamera(50, 1, 0.1, 100)
+    cam.set_position(0, 1.2, 4.0)
+    cam.look_at((0, 0.6, -1.5))
+    return scene, cam
+
+
+def _mirror_render(box: str, hw=96, frames=5):
+    scene, cam = _mirror_scene(box)
+    composer = EffectComposer(scene, cam, hw, hw)
+    composer.add_effect(SSGIEffect(steps=12, refine_steps=3,
+                                   denoise_mode="temporal"))
+    img = None
+    for _ in range(frames):
+        img = np.asarray(composer.render(dt=1 / 60))
+    packed = scene.pack()
+    m = cam.matrices()
+    gb = rasterize_gbuffer(
+        packed, scene.model_matrices(), m.projection_view_matrix, hw, hw)
+    return img, np.asarray(gb.mesh_id)
+
+
+def test_mirror_floor_does_not_reflect_excluded_mesh():
+    """Exact Selection semantics (`SSGIPass.js:71-79`): an excluded mesh
+    is absent from the GI G-buffer, so SSGI rays neither hit it nor get
+    occluded by it — its mirror reflection disappears entirely, not just
+    its own pixels."""
+    inc, mesh_id = _mirror_render("included")
+    exc, _ = _mirror_render("excluded")
+    absent, _ = _mirror_render("absent")
+    floor = mesh_id == 0
+    assert floor.sum() > 500
+    # included: the bright box reflects in the mirror floor
+    assert inc[floor].max() > absent[floor].max() + 0.5
+    # excluded: floor GI matches the box-free scene (rays that would hit
+    # the box now see background, exactly like a camera-layer re-render
+    # with nothing behind the box)
+    np.testing.assert_allclose(exc[floor], absent[floor], atol=2e-2)
+    # and the excluded box's own pixels still show plain scene color
+    box_px = mesh_id == 1
+    assert box_px.sum() > 100
+    assert exc[box_px].mean() > 1.0  # emissive box still directly visible
