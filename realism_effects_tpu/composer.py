@@ -177,12 +177,18 @@ def _enable_compile_cache():
 class EffectComposer:
     """Drives the frame loop; owns effects, state, and host bookkeeping."""
 
-    def __init__(self, scene: Scene, camera: Camera, width: int, height: int):
+    def __init__(self, scene: Scene, camera: Camera, width: int, height: int,
+                 alpha_peels: int = 3):
         _enable_compile_cache()
         self.scene = scene
         self.camera = camera
         self.width = int(width)
         self.height = int(height)
+        #: depth-peel passes bounding alpha-*map* transparency depth
+        #: (scene/rasterizer._visibility); raise for scenes with > 3
+        #: overlapping dithered-out texels per pixel (each extra peel is
+        #: one more raster pass). Static: changing it retraces.
+        self.alpha_peels = int(alpha_peels)
         self.effects = []
         self.frame = 0
         self.camera_not_moved_frames = 0
@@ -341,7 +347,7 @@ class EffectComposer:
             gbuffer = rasterize_gbuffer(
                 packed, model_mats, cam.projection_view_matrix, h, w,
                 bones=bones, dither=dither, cnmf=cnmf,
-                morph_weights=morph_w,
+                morph_weights=morph_w, alpha_peels=self.alpha_peels,
             )
             velocity = rasterize_velocity(
                 packed, model_mats, prev_model_mats,
@@ -350,6 +356,7 @@ class EffectComposer:
                 bones=bones, prev_bones=prev_bones, dither=dither,
                 cnmf=cnmf, morph_weights=morph_w,
                 prev_morph_weights=prev_morph_w,
+                alpha_peels=self.alpha_peels,
             )
             color = shade_direct(gbuffer, cam, lighting, env)
             return gbuffer, velocity, color
@@ -439,7 +446,8 @@ class EffectComposer:
         if self._lighting is None:
             self._lighting = self.scene.lighting_params()
 
-        static_sig = tuple((e.name, e.static_key()) for e in self.effects)
+        static_sig = (self.alpha_peels,) + tuple(
+            (e.name, e.static_key()) for e in self.effects)
         if self._raster_stage is None or static_sig != self._static_sig:
             self._layout = self._build_layout()
             self._build_stages()

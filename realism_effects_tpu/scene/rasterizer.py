@@ -27,8 +27,11 @@ from ..core.framebuffers import GBuffer, VelocityBuffer
 from .scene import PackedScene
 
 _CHUNK = 16  # triangles per scan step; (H, W, CHUNK) temps must fit HBM
-#: depth-peel passes for alpha-*map* transparency (see _visibility);
-#: each pass re-rasterizes with earlier per-pixel winners excluded
+#: default depth-peel passes for alpha-*map* transparency (see
+#: _visibility); each pass re-rasterizes with earlier per-pixel winners
+#: excluded. Overridable per call via ``alpha_peels`` (and per composer
+#: via ``EffectComposer(alpha_peels=...)``) — deeper transparency stacks
+#: trade raster passes for correctness.
 _ALPHA_PEELS = 3
 
 
@@ -110,7 +113,8 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
                 tri_alpha: jnp.ndarray | None = None,
                 dither: jnp.ndarray | None = None,
                 cnmf=None,
-                alpha_tex: tuple | None = None):
+                alpha_tex: tuple | None = None,
+                alpha_peels: int = _ALPHA_PEELS):
     """Z-buffer visibility: winning triangle id per pixel (-1 = none).
 
     ``tri_alpha``/``dither`` implement stochastic-alpha transparency with
@@ -296,7 +300,7 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
     final_z = jnp.where(keep, zbuf, jnp.inf)
     resolved = keep
     exclude = [ids]
-    for _ in range(max(_ALPHA_PEELS - 1, 0)):
+    for _ in range(max(alpha_peels - 1, 0)):
         zb, idp = raster_scan(tuple(exclude))
         kp = winner_keeps(idp)
         take = ~resolved & kp
@@ -430,23 +434,28 @@ def _alpha_inputs(packed: PackedScene, dither):
     return tri_alpha, alpha_tex
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "alpha_peels"))
 def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
                       view_proj: jnp.ndarray, height: int, width: int,
                       bones: jnp.ndarray | None = None,
                       dither: jnp.ndarray | None = None,
                       cnmf=0.0,
-                      morph_weights: jnp.ndarray | None = None) -> GBuffer:
+                      morph_weights: jnp.ndarray | None = None,
+                      alpha_peels: int = _ALPHA_PEELS) -> GBuffer:
     """Render the SoA G-buffer (K16 semantics: optional morph targets,
     skinning, and stochastic-alpha transparency via ``dither`` (H, W)
-    noise + ``cnmf`` = cameraNotMovedFrames for the convergence law)."""
+    noise + ``cnmf`` = cameraNotMovedFrames for the convergence law).
+    ``alpha_peels`` bounds alpha-map transparency depth (static: each
+    extra peel adds a raster pass)."""
     world_pos, world_nrm = _world_transform(
         packed, model_mats, bones, morph_weights
     )
     clip = _clip_positions(world_pos, view_proj)
     tri_alpha, alpha_tex = _alpha_inputs(packed, dither)
     ids, depth01 = _visibility(clip, packed.faces, height, width,
-                               tri_alpha, dither, cnmf, alpha_tex)
+                               tri_alpha, dither, cnmf, alpha_tex,
+                               alpha_peels)
     vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
 
     nrm = _interp(world_nrm, vidx, wts)
@@ -509,7 +518,8 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "alpha_peels"))
 def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
                        prev_model_mats: jnp.ndarray, view_proj: jnp.ndarray,
                        prev_view_proj: jnp.ndarray, height: int, width: int,
@@ -518,8 +528,8 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
                        dither: jnp.ndarray | None = None,
                        cnmf=0.0,
                        morph_weights: jnp.ndarray | None = None,
-                       prev_morph_weights: jnp.ndarray | None = None
-                       ) -> VelocityBuffer:
+                       prev_morph_weights: jnp.ndarray | None = None,
+                       alpha_peels: int = _ALPHA_PEELS) -> VelocityBuffer:
     """Render velocity/depth/normal (K17 semantics).
 
     Both view-proj matrices must be UNJITTERED, mirroring
@@ -544,7 +554,8 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
 
     tri_alpha, alpha_tex = _alpha_inputs(packed, dither)
     ids, depth01 = _visibility(clip, packed.faces, height, width,
-                               tri_alpha, dither, cnmf, alpha_tex)
+                               tri_alpha, dither, cnmf, alpha_tex,
+                               alpha_peels)
     vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
 
     cur = _interp(clip, vidx, wts)         # (H, W, 4)

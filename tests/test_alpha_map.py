@@ -89,6 +89,76 @@ class TestAlphaLaw:
         assert 0.05 < frac < 0.6
 
 
+class TestAlphaPeelDepth:
+    """The depth-peel bound on alpha-map transparency (PARITY.md known
+    deviations): pixels whose first ``alpha_peels`` candidate layers all
+    dither out fall to background; raising ``alpha_peels`` resolves
+    deeper stacks (the reference's in-shader discard,
+    `GBufferMaterial.js:57-79`, has no such bound)."""
+
+    def _stacked_scene(self):
+        from realism_effects_tpu.scene.geometry import translation
+
+        size = 32
+        tex = np.ones((size, size, 4), np.float32)
+        # central hole: alpha 0 -> always discarded (hard cut at cnmf=0)
+        tex[8:24, 8:24, 1] = 0.0
+        scene = Scene()
+        floor = scene.add(make_plane(
+            4, Material(diffuse=(0.2, 0.8, 0.2, 1.0))))
+        for i in range(4):
+            p = scene.add(make_plane(
+                4, Material(diffuse=(0.7, 0.7, 0.7, 1.0), alpha_map=tex)))
+            p.set_matrix(translation(0, 1.0 + 0.2 * i, 0))
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(0, 5, 0.01)
+        cam.look_at((0, 0, 0))
+        return scene, cam, floor
+
+    def _render_ids(self, alpha_peels, h=64, w=64):
+        scene, cam, floor = self._stacked_scene()
+        packed = scene.pack()
+        m = cam.matrices()
+        dither = blue_noise_image(h, w, jnp.int32(11))[..., 0]
+        gb = rasterize_gbuffer(
+            packed, scene.model_matrices(), m.projection_view_matrix, h, w,
+            dither=dither, cnmf=jnp.float32(0.0), alpha_peels=alpha_peels,
+        )
+        return np.asarray(gb.mesh_id), np.asarray(gb.depth)
+
+    def test_four_overlaps_exceed_three_peels(self):
+        """Pin the documented failure mode: 4 dithered-out layers over an
+        opaque floor fall to background with the default 3 peels."""
+        mesh_id, depth = self._render_ids(alpha_peels=3)
+        hole = mesh_id[28:36, 28:36]
+        assert (hole == -1).all()
+        assert (depth[28:36, 28:36] >= 1.0).all()
+        # outside the hole the top plane wins normally
+        assert (mesh_id[4:10, 4:10] >= 1).any()
+
+    def test_five_peels_resolve_the_stack(self):
+        """alpha_peels is caller-settable: with 5 peels the floor behind
+        the 4 discarded layers resolves correctly."""
+        mesh_id, depth = self._render_ids(alpha_peels=5)
+        hole = mesh_id[28:36, 28:36]
+        assert (hole == 0).all()          # the opaque floor
+        assert (depth[28:36, 28:36] < 1.0).all()
+
+    def test_composer_alpha_peels_config(self):
+        """EffectComposer(alpha_peels=...) reaches the rasterizer."""
+        scene, cam, _ = self._stacked_scene()
+        h = w = 48
+        deep = EffectComposer(scene, cam, w, h, alpha_peels=5)
+        img_deep = np.asarray(deep.render(dt=1 / 60))
+        scene2, cam2, _ = self._stacked_scene()
+        shallow = EffectComposer(scene2, cam2, w, h, alpha_peels=3)
+        img_shallow = np.asarray(shallow.render(dt=1 / 60))
+        # the hole shows the green floor only in the deep config
+        hole_deep = img_deep[21:27, 21:27]
+        hole_shallow = img_shallow[21:27, 21:27]
+        assert hole_deep[..., 1].mean() > hole_shallow[..., 1].mean() + 0.02
+
+
 class TestAlphaConvergence:
     def test_cutout_converges_under_traa(self):
         """A leaf-style cutout (binary alpha map) converges under TRAA to

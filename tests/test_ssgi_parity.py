@@ -365,8 +365,29 @@ def _compare(cfg, seed=0, frame=3, tol_q=2e-3, frac_tol=0.03):
         # march hits can flip at f32 thresholds on isolated pixels;
         # pin the bulk tightly and bound the flipped fraction
         assert np.quantile(rel, 0.97) < tol_q, float(np.quantile(rel, 0.97))
-        assert (rel.max(-1) > 0.05).mean() < frac_tol, \
-            float((rel.max(-1) > 0.05).mean())
+        flipped = rel.max(-1) > 0.05
+        assert flipped.mean() < frac_tol, float(flipped.mean())
+        # ...and localize them: an f32 flip can only happen where the
+        # march outcome is threshold-ambiguous, i.e. within 1 px of a
+        # march-hit crossing (a spatial discontinuity in the expected
+        # output: hit/miss or hit-depth changing between neighbors).
+        # A localized regression away from such an edge fails here even
+        # if it stays under the global fraction budget.
+        rel_y = np.abs(np.diff(e, axis=0)) / (np.abs(e[1:]) + 1.0)
+        rel_x = np.abs(np.diff(e, axis=1)) / (np.abs(e[:, 1:]) + 1.0)
+        disc = np.zeros(e.shape[:2], bool)
+        disc[1:] |= rel_y.max(-1) > 0.05
+        disc[:-1] |= rel_y.max(-1) > 0.05
+        disc[:, 1:] |= rel_x.max(-1) > 0.05
+        disc[:, :-1] |= rel_x.max(-1) > 0.05
+        allowed = np.zeros_like(disc)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                allowed |= np.roll(np.roll(disc, dy, 0), dx, 1)
+        stray = flipped & ~allowed
+        assert stray.sum() == 0, \
+            f"{int(stray.sum())} flipped pixels away from any march-hit " \
+            f"crossing at {np.argwhere(stray)[:5].tolist()}"
 
 
 class TestSSGIParity:
