@@ -243,23 +243,142 @@ def math3d_dot_const(d, c):
     return d[..., 0] * c[0] + d[..., 1] * c[1] + d[..., 2] * c[2]
 
 
-def blur_env(equirect: jnp.ndarray, blur: float) -> jnp.ndarray:
+def _ggx_sample_table(roughness: float, samples: int,
+                      base_h: int, base_w: int) -> np.ndarray:
+    """Tangent-space GGX-NDF importance samples + weights (host precompute).
+
+    The split-sum prefilter convention (n = v): half vectors drawn from
+    the GGX NDF over an R2 low-discrepancy set, reflected about z to
+    light directions, weighted by n·l. Each sample also carries a
+    source-mip lod from its pdf (filtered importance sampling: reading
+    a sample's whole solid angle from the box chain instead of a point
+    kills HDR fireflies at practical sample counts). Returns
+    (samples, 5) float32 rows ``(lx, ly, lz, weight, lod)``.
+    """
+    a = max(roughness, 1e-3) ** 2
+    i = np.arange(samples, dtype=np.float64)
+    # R2 plastic-number sequence (same generator family as core.rng)
+    g = 1.3247179572447460
+    xi1 = np.mod((i + 1) / g, 1.0)
+    xi2 = np.mod((i + 1) / (g * g), 1.0)
+    phi = 2.0 * np.pi * xi1
+    cos_t = np.sqrt((1.0 - xi2) / (1.0 + (a * a - 1.0) * xi2))
+    sin_t = np.sqrt(np.maximum(1.0 - cos_t * cos_t, 0.0))
+    h = np.stack([sin_t * np.cos(phi), sin_t * np.sin(phi), cos_t], -1)
+    # l = reflect(-v, h) with v = n = +z  =>  l = 2 (h·z) h - z
+    l = 2.0 * h[:, 2:3] * h - np.array([0.0, 0.0, 1.0])
+    w = np.maximum(l[:, 2], 0.0)
+    # pdf_l = D(theta_h) cos(theta_h) / (4 (v.h)) with v = n
+    d_ggx = a * a / (np.pi * ((a * a - 1.0) * cos_t ** 2 + 1.0) ** 2)
+    pdf = np.maximum(d_ggx * cos_t / np.maximum(4.0 * cos_t, 1e-8), 1e-12)
+    omega_s = 1.0 / (samples * pdf)            # per-sample solid angle
+    omega_p = 4.0 * np.pi / (base_h * base_w)  # mean base-texel solid angle
+    lod = np.maximum(0.5 * np.log2(omega_s / omega_p), 0.0)
+    return np.concatenate(
+        [l, w[:, None], lod[:, None]], -1).astype(np.float32)
+
+
+def _ggx_filter_level(box_mips: tuple, h: int, w: int,
+                      roughness: float, samples: int) -> jnp.ndarray:
+    """GGX-prefilter the box chain into an (h, w, 3) level."""
+    import jax
+
+    box_mips = tuple(jnp.asarray(m) for m in box_mips)
+    v_g, u_g = jnp.meshgrid((jnp.arange(h) + 0.5) / h,
+                            (jnp.arange(w) + 0.5) / w, indexing="ij")
+    n = equirect_uv_to_direction(jnp.stack([u_g, v_g], axis=-1))  # (h, w, 3)
+    # tangent frame around n
+    up = jnp.where(jnp.abs(n[..., 1:2]) < 0.999,
+                   jnp.asarray([0.0, 1.0, 0.0]),
+                   jnp.asarray([1.0, 0.0, 0.0]))
+    t = jnp.cross(up, n)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+    b = jnp.cross(n, t)
+    base_h, base_w = box_mips[0].shape[:2]
+    table = jnp.asarray(
+        _ggx_sample_table(roughness, samples, base_h, base_w))
+
+    def step(carry, row):
+        acc, wsum = carry
+        l = row[0] * t + row[1] * b + row[2] * n       # (h, w, 3)
+        col = sample_bilinear_mip(
+            box_mips, direction_to_equirect_uv(l), row[4])
+        return (acc + col * row[3], wsum + row[3]), None
+
+    (acc, wsum), _ = jax.lax.scan(
+        step, (jnp.zeros((h, w, 3), box_mips[0].dtype), jnp.float32(0.0)),
+        table)
+    return acc / jnp.maximum(wsum, 1e-8)
+
+
+def ggx_prefilter_mips(equirect: jnp.ndarray,
+                       max_levels: int | None = None,
+                       samples: int = 96) -> tuple:
+    """Roughness-indexed GGX-prefiltered equirect mip chain.
+
+    The TPU-native equivalent of three.js ``PMREMGenerator`` as the
+    reference demo uses it (`example/BlurredEnvMapGenerator.js:310-358`):
+    level L is the environment convolved with the GGX specular lobe of
+    ``roughness = L / maxMip`` (split-sum prefilter, n = v), so a
+    trilinear fetch at ``lod = roughness * maxMip`` returns the
+    prefiltered radiance for that roughness. Level 0 is the unfiltered
+    map; each level L also halves resolution like a regular mip and
+    integrates over the box mip of matching resolution (anti-aliasing
+    the wide-lobe gathers).
+    """
+    box = build_mip_chain(equirect, max_levels=max_levels)
+    n_levels = len(box)
+    out = [box[0]]
+    for lvl in range(1, n_levels):
+        h, w = box[lvl].shape[:2]
+        roughness = lvl / (n_levels - 1)
+        out.append(_ggx_filter_level(box, h, w, roughness, samples))
+    return tuple(out)
+
+
+#: fixed unit-sphere scatter set for blur_env's directional mixing
+#: (the copy shader's ``mix(rayDirection, randomDir, blur)``,
+#: `BlurredEnvMapGenerator.js:253-261`, with an R3 sequence standing in
+#: for its blue-noise/PCG4D stream)
+_BLUR_SCATTER_SAMPLES = 32
+
+
+def blur_env(equirect: jnp.ndarray, blur: float,
+             samples: int = 96) -> jnp.ndarray:
     """Return an equirect env blurred by ``blur`` in [0, 1].
 
     The analog of the example's ``BlurredEnvMapGenerator.generate``
-    (`/root/reference/example/BlurredEnvMapGenerator.js:310-358`): the
-    reference builds a PMREM roughness-prefiltered pyramid and reads it
-    back at one fixed blur level into a new equirect ``DataTexture``;
-    here the same fixed-level prefilter is a trilinear fetch from the
-    box mip chain at ``lod = blur * maxMip`` — the identical mapping the
-    SSGI tracer applies per env fetch (``envBlur``, `ssgi.frag:322`).
+    (`/root/reference/example/BlurredEnvMapGenerator.js:310-358`): build
+    the GGX roughness-prefiltered pyramid (three.js PMREM equivalent,
+    :func:`ggx_prefilter_mips`), then evaluate the copy shader's
+    estimator per texel — average ``textureCubeUV(env, mix(dir, random,
+    blur), blur)`` over a scatter set — into a new equirect map at the
+    source resolution.
     """
-    mips = build_mip_chain(equirect)
+    blur = float(blur)
+    if blur <= 0.0:
+        return equirect
+    mips = ggx_prefilter_mips(equirect, samples=samples)
     h, w = equirect.shape[0], equirect.shape[1]
     v, u = jnp.meshgrid((jnp.arange(h) + 0.5) / h, (jnp.arange(w) + 0.5) / w,
                         indexing="ij")
+    d = equirect_uv_to_direction(jnp.stack([u, v], axis=-1))
     lod = jnp.float32(blur) * (len(mips) - 1)
-    return sample_bilinear_mip(mips, jnp.stack([u, v], axis=-1), lod)
+
+    i = np.arange(_BLUR_SCATTER_SAMPLES, dtype=np.float64) + 1.0
+    g = 1.2207440846057596  # R3 plastic number (`harmoniousNumbers` :206)
+    r = np.stack([np.mod(i / g, 1.0), np.mod(i / g ** 2, 1.0),
+                  np.mod(i / g ** 3, 1.0)], -1) * 2.0 - 1.0
+    r /= np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-8)
+
+    acc = jnp.zeros_like(equirect)
+    for rd in np.asarray(r, np.float32):
+        md = d * (1.0 - blur) + jnp.asarray(rd) * blur
+        md = md / jnp.maximum(
+            jnp.linalg.norm(md, axis=-1, keepdims=True), 1e-8)
+        acc = acc + sample_bilinear_mip(
+            mips, direction_to_equirect_uv(md), lod)
+    return acc / _BLUR_SCATTER_SAMPLES
 
 
 #: GL cube-face file order, the three.js ``CubeTextureLoader`` layout
