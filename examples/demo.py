@@ -198,7 +198,7 @@ def build_effects(names, aa: str):
     from realism_effects_tpu import (
         BloomEffect, GradualBackgroundEffect, GTAOEffect, HBAOEffect,
         LensDistortionEffect, LUT3DEffect, MotionBlurEffect, SharpnessEffect,
-        FXAAEffect, SparkleEffect, SSGIEffect, SSREffect, TAAPass,
+        FXAAEffect, SMAAEffect, SparkleEffect, SSGIEffect, SSREffect, TAAPass,
         ToneMappingEffect, TRAAEffect, VignetteEffect, load_lut_3dl,
     )
 
@@ -225,6 +225,7 @@ def build_effects(names, aa: str):
         "traa": lambda: TRAAEffect(),
         "taa": lambda: TAAPass(),
         "fxaa": lambda: FXAAEffect(),
+        "smaa": lambda: SMAAEffect(),
     }
     if names == ["full"]:
         # the reference demo's exact stack + ordering (`main.js:510-539`):
@@ -240,6 +241,8 @@ def build_effects(names, aa: str):
         effects.append(TAAPass())
     elif aa == "fxaa":
         effects.append(FXAAEffect())
+    elif aa == "smaa":
+        effects.append(SMAAEffect())
     return effects
 
 
@@ -249,7 +252,7 @@ def main():
                     help="showcase | traa_test | ao | gltf | dynamic | "
                          "sponza | asset:<path-to-glb>")
     ap.add_argument("--effects", default="ssgi,hbao")
-    ap.add_argument("--aa", default="traa", choices=["traa", "taa", "fxaa", "none"])
+    ap.add_argument("--aa", default="traa", choices=["traa", "taa", "fxaa", "smaa", "none"])
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default="/tmp/re_tpu_demo")

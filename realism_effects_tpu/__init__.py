@@ -20,6 +20,7 @@ from .core.framebuffers import GBuffer, VelocityBuffer
 from .effects.ao import AOEffect, GTAOEffect, HBAOEffect
 from .effects.base import Effect
 from .effects.fxaa import FXAAEffect
+from .effects.smaa import SMAAEffect
 from .effects.finishing import (
     GradualBackgroundEffect, LensDistortionEffect, SharpnessEffect,
     SparkleEffect,
@@ -59,6 +60,7 @@ __all__ = [
     # (`example/main.js:465-476,510-539`)
     "BloomEffect", "VignetteEffect", "ToneMappingEffect", "LUT3DEffect",
     "FXAAEffect",
+    "SMAAEffect",
     "load_lut_3dl",
     "temporal_reproject", "TemporalReprojectConfig",
     "poisson_denoise", "PoissonDenoiseConfig",

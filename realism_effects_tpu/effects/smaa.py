@@ -1,0 +1,297 @@
+"""SMAA 1x — subpixel morphological antialiasing.
+
+The reference demo A/Bs TRAA against ``POSTPROCESSING.SMAAEffect``
+(`/root/reference/example/main.js:116-154,709-746`). This is a
+TPU-native SMAA 1x (Jimenez et al. 2012) built as whole-image
+vectorized passes:
+
+1. **Luma edge detection** with the standard threshold (0.1) and local
+   contrast adaptation factor (2.0).
+2. **Blend-weight calculation**: instead of the GPU version's
+   precomputed 160x560 area texture + hardware bilinear search tricks,
+   run lengths along each edge are found with masked ``lax.cummax``
+   scans and the revectorized-line coverage areas are computed
+   *analytically* per pixel (the area texture is itself just a table of
+   these trapezoid integrals). Orthogonal patterns (L/Z/U shapes) are
+   handled; the diagonal-pattern pass of full SMAA is not (its visual
+   contribution is minor and the reference demo's comparison scenes are
+   orthogonal-dominated).
+3. **Neighborhood blending** with the bilinear-offset semantics of
+   ``SMAANeighborhoodBlendingPS``: each direction's fetch is
+   ``mix(center, neighbor, w)``, the dominant axis wins, and the two
+   opposing weights are normalized.
+
+Geometry conventions: for a horizontal boundary between pixel (y, x)
+and its up-neighbor (y-1, x), +y points toward the up-neighbor. A
+crossing (vertical) edge at a run end contributes a corner at height
++-0.5: + when the crossing lies on the up-neighbor row, - on the
+current row (both -> ambiguous, treated as none). L patterns taper to
+zero at the run midpoint, U patterns tent through it, Z patterns span
+end to end — the same line model the SMAA area texture tabulates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import Effect
+
+#: SMAA_THRESHOLD default
+_THRESHOLD = 0.1
+#: SMAA_LOCAL_CONTRAST_ADAPTATION_FACTOR
+_CONTRAST_FACTOR = 2.0
+#: SMAA_MAX_SEARCH_STEPS (run-length clamp, in pixels)
+_MAX_SEARCH = 16
+
+
+def _luma(rgb: jnp.ndarray) -> jnp.ndarray:
+    return rgb[..., 0] * 0.2126 + rgb[..., 1] * 0.7152 + rgb[..., 2] * 0.0722
+
+
+def _shift(a: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
+    """result[y, x] = a[y + dy, x + dx], constant fill outside (no wrap)."""
+    h, w = a.shape[:2]
+    py, px = abs(dy), abs(dx)
+    pad = ((py, py), (px, px)) + ((0, 0),) * (a.ndim - 2)
+    p = jnp.pad(a, pad, constant_values=fill)
+    return p[py + dy: py + dy + h, px + dx: px + dx + w]
+
+
+def _detect_edges(luma: jnp.ndarray):
+    """Luma edge detection (``SMAALumaEdgeDetectionPS`` semantics).
+
+    Returns (edge_h, edge_v): edge_h[y, x] = edge between (y, x) and
+    (y-1, x); edge_v[y, x] = edge between (y, x) and (y, x-1).
+    """
+    l_c = luma
+    l_up = _shift(luma, -1, 0)
+    l_left = _shift(luma, 0, -1)
+    l_down = _shift(luma, 1, 0)
+    l_right = _shift(luma, 0, 1)
+    l_up2 = _shift(luma, -2, 0)
+    l_left2 = _shift(luma, 0, -2)
+
+    d_up = jnp.abs(l_c - l_up)
+    d_left = jnp.abs(l_c - l_left)
+    e_h = d_up >= _THRESHOLD
+    e_v = d_left >= _THRESHOLD
+
+    # local contrast adaptation: discard edges much weaker than the
+    # strongest neighboring delta
+    d_down = jnp.abs(l_c - l_down)
+    d_right = jnp.abs(l_c - l_right)
+    d_upup = jnp.abs(l_up - l_up2)
+    d_leftleft = jnp.abs(l_left - l_left2)
+    max_d = jnp.maximum(jnp.maximum(d_up, d_left),
+                        jnp.maximum(d_down, d_right))
+    max_d = jnp.maximum(max_d, jnp.maximum(d_upup, d_leftleft))
+    e_h &= _CONTRAST_FACTOR * d_up >= max_d
+    e_v &= _CONTRAST_FACTOR * d_left >= max_d
+
+    # boundary rows/cols have no neighbor
+    h, w = luma.shape
+    e_h = e_h.at[0, :].set(False)
+    e_v = e_v.at[:, 0].set(False)
+    return e_h, e_v
+
+
+def _run_extents(e: jnp.ndarray, axis: int):
+    """For each True pixel of ``e``: distance to the start/end of its
+    contiguous run along ``axis``, clamped to ``_MAX_SEARCH``.
+
+    Returns (d1, d2) int32: pixels to the run start (exclusive of self)
+    and to the run end.
+    """
+    n = e.shape[axis]
+    idx_shape = [1, 1]
+    idx_shape[axis] = n
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(idx_shape)
+    idx = jnp.broadcast_to(idx, e.shape)
+
+    prev = jnp.roll(e, 1, axis)
+    prev = prev.at[(slice(0, 1), slice(None)) if axis == 0
+                   else (slice(None), slice(0, 1))].set(False)
+    run_start = jnp.where(e & ~prev, idx, -1)
+    start = jax.lax.cummax(run_start, axis=axis)
+    d1 = jnp.minimum(idx - start, _MAX_SEARCH)
+
+    nxt = jnp.roll(e, -1, axis)
+    nxt = nxt.at[(slice(n - 1, n), slice(None)) if axis == 0
+                 else (slice(None), slice(n - 1, n))].set(False)
+    run_end = jnp.where(e & ~nxt, idx, jnp.int32(1 << 20))
+    # reverse cummin: nearest run end at or after each position
+    end = jnp.flip(-jax.lax.cummax(jnp.flip(-run_end, axis), axis=axis),
+                   axis)
+    d2 = jnp.minimum(end - idx, _MAX_SEARCH)
+    return d1, d2
+
+
+def _pos_neg_integral(y1, y2):
+    """Exact integrals of max(y, 0) and max(-y, 0) for the linear
+    segment from y1 to y2 over a unit interval."""
+    same = y1 * y2 >= 0.0
+    trap = (y1 + y2) * 0.5
+    pos_trap = jnp.maximum(trap, 0.0)
+    neg_trap = jnp.maximum(-trap, 0.0)
+    # crossing: split at t = y1 / (y1 - y2)
+    t = y1 / jnp.where(jnp.abs(y1 - y2) > 1e-12, y1 - y2, 1e-12)
+    tri1 = jnp.abs(y1) * t * 0.5          # area of the y1-side triangle
+    tri2 = jnp.abs(y2) * (1.0 - t) * 0.5
+    pos_cross = jnp.where(y1 > 0.0, tri1, tri2)
+    neg_cross = jnp.where(y1 > 0.0, tri2, tri1)
+    pos = jnp.where(same, pos_trap, pos_cross)
+    neg = jnp.where(same, neg_trap, neg_cross)
+    return pos, neg
+
+
+def _coverage_areas(d1, d2, h_l, h_r):
+    """Revectorized-line coverage of the pixel column [d1, d1 + 1].
+
+    ``d1``/``d2``: run extents; ``h_l``/``h_r``: line heights at the run
+    ends (0 or +-0.5). Returns (area_pos, area_neg): area on the +y
+    (up-neighbor) side and on the -y (current pixel) side.
+
+    Line model (the function the SMAA area texture tabulates):
+    - both heights zero: flat, no area;
+    - one nonzero (L): (0, h_l) -> (d/2, 0), flat beyond (mirrored for
+      the right end);
+    - same sign (U): tent (0, h_l) -> (d/2, 0) -> (d, h_r);
+    - opposite signs (Z): straight (0, h_l) -> (d, h_r).
+    """
+    d1f = d1.astype(jnp.float32)
+    d2f = d2.astype(jnp.float32)
+    d = d1f + d2f + 1.0
+    x1 = d1f
+    x2 = d1f + 1.0
+    m = d * 0.5
+
+    z_pattern = (h_l * h_r) < 0.0  # opposite signs: straight line
+
+    def tent_y(x):
+        # piecewise: left segment (0, h_l) -> (m, 0); right (m, 0) -> (d, h_r)
+        y_left = h_l * (1.0 - x / jnp.maximum(m, 1e-6))
+        y_right = h_r * (x - m) / jnp.maximum(d - m, 1e-6)
+        return jnp.where(x <= m, y_left, y_right)
+
+    def line_y(x):
+        return h_l + (h_r - h_l) * x / jnp.maximum(d, 1e-6)
+
+    # split the column at the tent kink when it falls inside
+    xm = jnp.clip(m, x1, x2)
+    w_a = xm - x1
+    w_b = x2 - xm
+
+    ya1 = jnp.where(z_pattern, line_y(x1), tent_y(x1))
+    yam = jnp.where(z_pattern, line_y(xm), tent_y(xm))
+    yb2 = jnp.where(z_pattern, line_y(x2), tent_y(x2))
+
+    pa, na = _pos_neg_integral(ya1, yam)
+    pb, nb = _pos_neg_integral(yam, yb2)
+    area_pos = pa * w_a + pb * w_b
+    area_neg = na * w_a + nb * w_b
+    return area_pos, area_neg
+
+
+def _crossing_heights(e_cross: jnp.ndarray, e_cross_up: jnp.ndarray,
+                      d1, d2, axis: int):
+    """Line heights at the two run ends from the crossing edges there.
+
+    ``e_cross``: crossing edges on the current row/col; ``e_cross_up``:
+    on the neighbor row/col (+y side). ``axis``: run direction (1 for
+    horizontal runs). A crossing on the +y side gives +0.5; on the
+    current side -0.5; both or neither give 0. Ends clamped by the
+    search limit see no crossing.
+    """
+    h, w = e_cross.shape
+
+    def at_offset(a, off):
+        """a[y, x + off] (or rows for axis 0) with off a per-pixel int array."""
+        if axis == 1:
+            base = jnp.arange(w, dtype=jnp.int32)[None, :]
+            j = jnp.clip(base + off, 0, w - 1)
+            return jnp.take_along_axis(a, j, axis=1)
+        base = jnp.arange(h, dtype=jnp.int32)[:, None]
+        i = jnp.clip(base + off, 0, h - 1)
+        return jnp.take_along_axis(a, i, axis=0)
+
+    # left/up end: crossing edge sits at the first run pixel (its own
+    # boundary toward the outside), i.e. offset -d1 from this pixel
+    cl_cur = at_offset(e_cross, -d1)
+    cl_up = at_offset(e_cross_up, -d1)
+    # right/down end: boundary beyond the last run pixel: offset d2 + 1
+    cr_cur = at_offset(e_cross, d2 + 1)
+    cr_up = at_offset(e_cross_up, d2 + 1)
+
+    clamped_l = d1 >= _MAX_SEARCH
+    clamped_r = d2 >= _MAX_SEARCH
+    h_l = jnp.where(clamped_l, 0.0,
+                    jnp.where(cl_up & ~cl_cur, 0.5,
+                              jnp.where(cl_cur & ~cl_up, -0.5, 0.0)))
+    h_r = jnp.where(clamped_r, 0.0,
+                    jnp.where(cr_up & ~cr_cur, 0.5,
+                              jnp.where(cr_cur & ~cr_up, -0.5, 0.0)))
+    return h_l, h_r
+
+
+def smaa(color: jnp.ndarray) -> jnp.ndarray:
+    """Apply SMAA 1x to an (H, W, 3) image (LDR domain, like the
+    reference demo's post-tonemap placement)."""
+    luma = _luma(color)
+    e_h, e_v = _detect_edges(luma)
+
+    # ---- horizontal boundaries (edge between (y,x) and (y-1,x)) ----
+    d1, d2 = _run_extents(e_h, axis=1)
+    # crossing edges are vertical: on the current row (y) and the row
+    # above (y-1); +y points toward the up-neighbor (y-1)
+    h_l, h_r = _crossing_heights(e_v, _shift(e_v, -1, 0, fill=False),
+                                 d1, d2, axis=1)
+    a_pos_h, a_neg_h = _coverage_areas(d1, d2, h_l, h_r)
+    a_pos_h = jnp.where(e_h, a_pos_h, 0.0)
+    a_neg_h = jnp.where(e_h, a_neg_h, 0.0)
+    # area on the current-pixel side: blend the up-neighbor in; area on
+    # the up side belongs to the up-neighbor pixel (blend down)
+    w_up = a_neg_h                       # this pixel <- up neighbor
+    w_down = _shift(a_pos_h, 1, 0)       # pixel above the boundary
+
+    # ---- vertical boundaries (edge between (y,x) and (y,x-1)) ----
+    d1v, d2v = _run_extents(e_v, axis=0)
+    v_l, v_r = _crossing_heights(e_h, _shift(e_h, 0, -1, fill=False),
+                                 d1v, d2v, axis=0)
+    a_pos_v, a_neg_v = _coverage_areas(d1v, d2v, v_l, v_r)
+    a_pos_v = jnp.where(e_v, a_pos_v, 0.0)
+    a_neg_v = jnp.where(e_v, a_neg_v, 0.0)
+    w_left = a_neg_v                     # this pixel <- left neighbor
+    w_right = _shift(a_pos_v, 0, 1)      # pixel left of the boundary
+
+    # ---- neighborhood blending --------------------------------------
+    c_up = _shift(color, -1, 0)
+    c_down = _shift(color, 1, 0)
+    c_left = _shift(color, 0, -1)
+    c_right = _shift(color, 0, 1)
+
+    horiz = jnp.maximum(w_left, w_right) > jnp.maximum(w_up, w_down)
+    w1 = jnp.where(horiz, w_left, w_up)
+    w2 = jnp.where(horiz, w_right, w_down)
+    n1 = jnp.where(horiz[..., None], c_left, c_up)
+    n2 = jnp.where(horiz[..., None], c_right, c_down)
+    s = w1 + w2
+    any_w = s > 1e-6
+    u1 = jnp.where(any_w, w1 / jnp.where(any_w, s, 1.0), 0.0)
+    u2 = jnp.where(any_w, w2 / jnp.where(any_w, s, 1.0), 0.0)
+    # bilinear-offset semantics: each direction fetches
+    # mix(center, neighbor, w), then the two fetches mix by u
+    f1 = color * (1.0 - w1[..., None]) + n1 * w1[..., None]
+    f2 = color * (1.0 - w2[..., None]) + n2 * w2[..., None]
+    blended = f1 * u1[..., None] + f2 * u2[..., None]
+    return jnp.where(any_w[..., None], blended, color)
+
+
+class SMAAEffect(Effect):
+    """SMAA 1x stage (``--aa smaa`` in the demo, the reference demo's
+    SMAA branch of the AA switcher, `main.js:116-154,709-746`)."""
+
+    name = "smaa"
+
+    def apply(self, ctx, color, state):
+        return smaa(color), state
