@@ -7,9 +7,11 @@
 //
 // Scope mirrors the Python module: rANS entropy coding, EdgeBreaker
 // CLERS replay with topology splits and interior start faces, attribute
-// seams, depth-first attribute traversal, difference + parallelogram
-// prediction, wrap + canonicalized-octahedron transforms, quantization.
+// seams, depth-first attribute traversal, difference / parallelogram /
+// constrained-multi-parallelogram / portable-texcoords prediction, wrap
+// + canonicalized-octahedron transforms, quantization.
 
+#include <algorithm>
 #include <array>
 #include <cstdint>
 #include <cstdio>
@@ -695,7 +697,8 @@ struct OctTransform {
 
 enum { SEQ_GENERIC = 0, SEQ_INTEGER = 1, SEQ_QUANTIZATION = 2, SEQ_NORMALS = 3 };
 enum { ATT_POSITION = 0, ATT_NORMAL = 1, ATT_COLOR = 2, ATT_TEX_COORD = 3, ATT_GENERIC = 4 };
-enum { PRED_NONE = -2, PRED_DIFFERENCE = 0, PRED_PARALLELOGRAM = 1 };
+enum { PRED_NONE = -2, PRED_DIFFERENCE = 0, PRED_PARALLELOGRAM = 1,
+       PRED_CONSTRAINED_MULTI = 4, PRED_TEXCOORDS_PORTABLE = 5 };
 enum { TR_DELTA = 0, TR_WRAP = 1, TR_OCT = 2, TR_OCT_CANON = 3 };
 
 struct AttributeDesc {
@@ -730,11 +733,25 @@ static void decode_raw_integers(Buffer &b, int64_t num_values,
     }
 }
 
+static inline int64_t isqrt_u128(unsigned __int128 v) {
+    // exact floor sqrt (mirrors Python math.isqrt over the product)
+    if (v == 0) return 0;
+    long double est = sqrtl((long double)(uint64_t)(v >> 64) *
+                                18446744073709551616.0L +
+                            (long double)(uint64_t)v);
+    uint64_t r = (uint64_t)est;
+    while (r > 0 && (unsigned __int128)r * r > v) --r;
+    while ((unsigned __int128)(r + 1) * (r + 1) <= v) ++r;
+    return (int64_t)r;
+}
+
 // Returns flattened int64 values (num_entries * nc_out)
 static void decode_attribute_values(Buffer &b, const AttributeDesc &desc,
                                     const View &view,
                                     const std::vector<int64_t> &value_to_corner,
                                     const std::vector<int64_t> &vertex_to_value,
+                                    const std::vector<int64_t> &corner_to_point,
+                                    const std::vector<std::array<int64_t, 3>> *pos_for_point,
                                     std::vector<int64_t> &vals, int &nc_out) {
     int64_t num_entries = (int64_t)value_to_corner.size();
     int nc = desc.seq_type == SEQ_NORMALS ? 2 : desc.nc;
@@ -750,12 +767,49 @@ static void decode_attribute_values(Buffer &b, const AttributeDesc &desc,
     else
         decode_raw_integers(b, num_entries * nc, symbols);
 
+    // prediction-scheme data (read between symbols and transform data,
+    // mirroring scene/draco.py::_decode_attribute_values)
+    constexpr int MAX_PARALLELOGRAMS = 4;
+    std::vector<std::vector<uint8_t>> crease_bits;
+    std::vector<uint8_t> orientations;
+    if (method == PRED_CONSTRAINED_MULTI) {
+        crease_bits.resize(MAX_PARALLELOGRAMS);
+        for (int i = 0; i < MAX_PARALLELOGRAMS; ++i) {
+            int64_t num_flags = (int64_t)b.varint();
+            if (num_flags < 0 || num_flags > 8 * b.size)
+                fail("crease flag count exceeds stream capacity");
+            crease_bits[i].assign(num_flags, 0);
+            if (num_flags > 0) {
+                RAnsBitDecoder dec;
+                dec.init(b);
+                for (int64_t f = 0; f < num_flags; ++f)
+                    crease_bits[i][f] = (uint8_t)dec.bit();
+            }
+        }
+    } else if (method == PRED_TEXCOORDS_PORTABLE) {
+        if (nc != 2) fail("portable texcoords need 2 components");
+        if (pos_for_point == nullptr)
+            fail("portable texcoords need decoded positions");
+        int64_t num_orient = (int64_t)(uint32_t)b.u32();
+        if (num_orient > 8 * b.size)
+            fail("orientation count exceeds stream capacity");
+        orientations.assign(num_orient, 1);
+        bool last = true;
+        RAnsBitDecoder dec;
+        dec.init(b);
+        for (int64_t i = 0; i < num_orient; ++i) {
+            if (!dec.bit()) last = !last;
+            orientations[i] = (uint8_t)last;
+        }
+    }
+
     if (method == PRED_NONE) {
         vals.resize(symbols.size());
         for (size_t i = 0; i < symbols.size(); ++i) vals[i] = zigzag(symbols[i]);
         return;
     }
-    if (method != PRED_DIFFERENCE && method != PRED_PARALLELOGRAM)
+    if (method != PRED_DIFFERENCE && method != PRED_PARALLELOGRAM &&
+        method != PRED_CONSTRAINED_MULTI && method != PRED_TEXCOORDS_PORTABLE)
         fail("unsupported prediction method " + std::to_string(method));
 
     WrapTransform wrap{};
@@ -797,7 +851,7 @@ static void decode_attribute_values(Buffer &b, const AttributeDesc &desc,
     if (method == PRED_DIFFERENCE) {
         for (int64_t p = 1; p < num_entries; ++p)
             apply(&vals[(p - 1) * nc], &corr[p * nc], &vals[p * nc]);
-    } else {  // PARALLELOGRAM
+    } else if (method == PRED_PARALLELOGRAM) {
         for (int64_t p = 1; p < num_entries; ++p) {
             int64_t corner = value_to_corner[p];
             int64_t opp = view.opposite[corner];
@@ -815,6 +869,144 @@ static void decode_attribute_values(Buffer &b, const AttributeDesc &desc,
             if (!have)
                 for (int c = 0; c < nc; ++c) pred[c] = vals[(p - 1) * nc + c];
             apply(pred.data(), &corr[p * nc], &vals[p * nc]);
+        }
+    } else if (method == PRED_CONSTRAINED_MULTI) {
+        // MeshPredictionSchemeConstrainedMultiParallelogram (port of
+        // scene/draco.py::_predict_constrained_multi): up to 4
+        // parallelograms per entry, crease flags consumed per
+        // parallelogram-count context
+        std::vector<std::vector<int64_t>> preds(
+            MAX_PARALLELOGRAMS, std::vector<int64_t>(nc, 0));
+        std::array<int64_t, MAX_PARALLELOGRAMS> flag_pos{};
+        std::vector<int64_t> total(nc, 0);
+        for (int64_t p = 1; p < num_entries; ++p) {
+            int64_t first_corner = value_to_corner[p];
+            int64_t corner = first_corner;
+            int num_par = 0;
+            while (corner >= 0 && num_par < MAX_PARALLELOGRAMS) {
+                int64_t opp = view.opposite[corner];
+                if (opp >= 0) {
+                    int64_t vo = vertex_to_value[view.cv[opp]];
+                    int64_t vn = vertex_to_value[view.cv[next_c(opp)]];
+                    int64_t vp = vertex_to_value[view.cv[prev_c(opp)]];
+                    if (vo >= 0 && vo < p && vn >= 0 && vn < p &&
+                        vp >= 0 && vp < p) {
+                        for (int c = 0; c < nc; ++c)
+                            preds[num_par][c] = vals[vn * nc + c] +
+                                vals[vp * nc + c] - vals[vo * nc + c];
+                        ++num_par;
+                    }
+                }
+                int64_t o2 = view.opposite[prev_c(corner)];
+                corner = o2 < 0 ? -1 : prev_c(o2);  // swing_right
+                if (corner == first_corner) break;
+            }
+            std::fill(total.begin(), total.end(), 0);
+            int num_used = 0;
+            if (num_par > 0) {
+                int ctx = num_par - 1;
+                for (int i = 0; i < num_par; ++i) {
+                    if (flag_pos[ctx] >= (int64_t)crease_bits[ctx].size())
+                        fail("crease flags exhausted");
+                    bool is_crease = crease_bits[ctx][flag_pos[ctx]++];
+                    if (!is_crease) {
+                        ++num_used;
+                        for (int c = 0; c < nc; ++c) total[c] += preds[i][c];
+                    }
+                }
+            }
+            if (num_used)
+                for (int c = 0; c < nc; ++c) pred[c] = total[c] / num_used;
+            else
+                for (int c = 0; c < nc; ++c) pred[c] = vals[(p - 1) * nc + c];
+            apply(pred.data(), &corr[p * nc], &vals[p * nc]);
+        }
+    } else {  // PRED_TEXCOORDS_PORTABLE
+        // MeshPredictionSchemeTexCoordsPortable (port of
+        // scene/draco.py::_predict_tex_coords_portable): UV predicted
+        // from the tip position projected onto the opposite edge in
+        // integer arithmetic, one orientation bit per predictable
+        // entry, consumed from the END of the orientation list.
+        // int64 multiply-adds deliberately wrap (the Python reference
+        // uses np.int64 arrays there); the projection quotient and the
+        // isqrt product use exact 128-bit like Python's bigints.
+        const auto &pp = *pos_for_point;
+        int64_t ori_pos = (int64_t)orientations.size();
+        auto point_of = [&](int64_t entry) {
+            return corner_to_point[value_to_corner[entry]];
+        };
+        for (int64_t p = 1; p < num_entries; ++p) {
+            int64_t corner = value_to_corner[p];
+            int64_t ne = vertex_to_value[view.cv[next_c(corner)]];
+            int64_t pe = vertex_to_value[view.cv[prev_c(corner)]];
+            bool have = false;
+            if (ne >= 0 && ne < p && pe >= 0 && pe < p) {
+                int64_t n_uv[2] = {vals[ne * 2], vals[ne * 2 + 1]};
+                int64_t p_uv[2] = {vals[pe * 2], vals[pe * 2 + 1]};
+                if (p_uv[0] == n_uv[0] && p_uv[1] == n_uv[1]) {
+                    pred[0] = p_uv[0];
+                    pred[1] = p_uv[1];
+                    have = true;
+                } else {
+                    const auto &tip = pp[point_of(p)];
+                    const auto &npos = pp[point_of(ne)];
+                    const auto &ppos = pp[point_of(pe)];
+                    int64_t pn[3], cn[3];
+                    uint64_t pn2 = 0, cdp = 0;
+                    for (int i = 0; i < 3; ++i) {
+                        pn[i] = ppos[i] - npos[i];
+                        cn[i] = tip[i] - npos[i];
+                        pn2 += (uint64_t)pn[i] * (uint64_t)pn[i];
+                        cdp += (uint64_t)pn[i] * (uint64_t)cn[i];
+                    }
+                    int64_t pn_norm2 = (int64_t)pn2;
+                    int64_t cn_dot_pn = (int64_t)cdp;
+                    if (pn_norm2 != 0) {
+                        if (pn_norm2 < 0) fail("texcoord overflow");
+                        int64_t pn_uv[2] = {p_uv[0] - n_uv[0],
+                                            p_uv[1] - n_uv[1]};
+                        int64_t x_uv[2], x_pos[3];
+                        for (int k = 0; k < 2; ++k)
+                            x_uv[k] = (int64_t)(
+                                (uint64_t)n_uv[k] * (uint64_t)pn_norm2 +
+                                (uint64_t)cn_dot_pn * (uint64_t)pn_uv[k]);
+                        uint64_t cx2 = 0;
+                        for (int i = 0; i < 3; ++i) {
+                            __int128 prod = (__int128)cn_dot_pn * pn[i];
+                            x_pos[i] = npos[i] + (int64_t)(prod / pn_norm2);
+                            int64_t d = tip[i] - x_pos[i];
+                            cx2 += (uint64_t)d * (uint64_t)d;
+                        }
+                        int64_t cx_norm2 = (int64_t)cx2;
+                        if (cx_norm2 < 0) fail("texcoord overflow");
+                        int64_t s = isqrt_u128(
+                            (unsigned __int128)(uint64_t)cx_norm2 *
+                            (uint64_t)pn_norm2);
+                        int64_t perp_uv[2] = {pn_uv[1], -pn_uv[0]};
+                        bool ori = ori_pos > 0
+                            ? (bool)orientations[ori_pos - 1] : true;
+                        ori_pos -= 1;
+                        for (int k = 0; k < 2; ++k) {
+                            uint64_t step =
+                                (uint64_t)perp_uv[k] * (uint64_t)s;
+                            int64_t v = (int64_t)(
+                                ori ? (uint64_t)x_uv[k] + step
+                                    : (uint64_t)x_uv[k] - step);
+                            pred[k] = v / pn_norm2;
+                        }
+                        have = true;
+                    } else {
+                        pred[0] = p_uv[0];
+                        pred[1] = p_uv[1];
+                        have = true;
+                    }
+                }
+            }
+            if (!have) {
+                pred[0] = vals[(p - 1) * 2];
+                pred[1] = vals[(p - 1) * 2 + 1];
+            }
+            apply(pred.data(), &corr[p * 2], &vals[p * 2]);
         }
     }
 }
@@ -1022,6 +1214,11 @@ static MeshOut *decode_mesh(const uint8_t *data, int64_t size) {
     for (int64_t c = n_corners - 1; c >= 0; --c) point_corner[corner_to_point[c]] = c;
 
     // ---- decode attribute blocks
+    // portable (quantized-int) positions per point, for the
+    // texcoords-portable predictor of a LATER decoder block (mirrors
+    // decode_py's pos_portable_for_point)
+    std::vector<std::array<int64_t, 3>> pos_portable;
+    bool have_pos_portable = false;
     for (size_t d = 0; d < configs.size(); ++d) {
         int aid = configs[d].first;
         const View &view = aid < 0 ? rview : att_views[aid];
@@ -1037,8 +1234,11 @@ static MeshOut *decode_mesh(const uint8_t *data, int64_t size) {
         for (auto &desc : decoder_descs[d]) {
             Pending p;
             p.desc = &desc;
-            decode_attribute_values(b, desc, view, value_to_corner,
-                                    vertex_to_value, p.vals, p.nc_out);
+            decode_attribute_values(
+                b, desc, view, value_to_corner, vertex_to_value,
+                corner_to_point,
+                have_pos_portable ? &pos_portable : nullptr,
+                p.vals, p.nc_out);
             pend.push_back(std::move(p));
         }
         for (auto &p : pend) {
@@ -1065,6 +1265,15 @@ static MeshOut *decode_mesh(const uint8_t *data, int64_t size) {
                     for (int c = 0; c < desc.nc; ++c)
                         res.fvals[q * desc.nc + c] =
                             (float)(mins[c] + (double)p.vals[e * desc.nc + c] * delta);
+                }
+                if (desc.att_type == ATT_POSITION && desc.nc == 3) {
+                    pos_portable.resize(out->num_points);
+                    for (int64_t q = 0; q < out->num_points; ++q) {
+                        int64_t e = entry_of_point[q];
+                        for (int c = 0; c < 3; ++c)
+                            pos_portable[q][c] = p.vals[e * 3 + c];
+                    }
+                    have_pos_portable = true;
                 }
             } else if (desc.seq_type == SEQ_NORMALS) {
                 int bits = b.u8();

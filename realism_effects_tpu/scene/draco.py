@@ -1143,6 +1143,56 @@ def _decode_attribute_values(buf: Buffer, desc: _AttributeDesc, st,
     return vals, transform
 
 
+def assemble_points(table, att_views: dict, num_faces: int):
+    """Corner -> point assignment (upstream AssignPointsToCorners).
+
+    Unique (vertex, per-attribute-data wedge) tuples, refined by
+    swing_right connectivity: upstream assigns points by walking each
+    vertex's corner fan, so corners with identical tuples that lie in
+    swing-DISCONNECTED sectors of the fan stay distinct points
+    (duplicate-point retention in the S-merge/hole bookkeeping case;
+    2 points on 2 chevrolet primitives). Point ids are in
+    first-encounter (corner) order so the native C++ decoder (same scan
+    over corners) produces identical output. Returns
+    (corner_to_point (3F,) int64, num_points)."""
+    n_corners = 3 * num_faces
+    keys = np.empty((n_corners, 1 + len(att_views)), np.int64)
+    keys[:, 0] = table.cv
+    for j, (aid, view) in enumerate(sorted(att_views.items())):
+        keys[:, 1 + j] = view.cv
+    _, corner_tuple = np.unique(keys, axis=0, return_inverse=True)
+    parent = np.arange(n_corners, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    opp = table.opposite
+    for c in range(n_corners):
+        o = opp[_prev(c)]
+        if o < 0:
+            continue
+        r = _prev(o)  # swing_right(c)
+        if corner_tuple[r] == corner_tuple[c]:
+            ra, rb = find(c), find(r)
+            if ra != rb:
+                parent[rb] = ra
+    corner_to_point = np.empty(n_corners, np.int64)
+    point_of_root: dict[int, int] = {}
+    for c in range(n_corners):
+        root = find(c)
+        pid = point_of_root.get(root)
+        if pid is None:
+            pid = len(point_of_root)
+            point_of_root[root] = pid
+        corner_to_point[c] = pid
+    return corner_to_point, len(point_of_root)
+
+
 def _oct_to_unit(vals2: np.ndarray, bits: int) -> np.ndarray:
     """Octahedral ints (N, 2) in [0, 2^bits - 1] -> unit vectors (N, 3).
     Draco OctahedronToolBox::QuantizedOctahedralCoordsToUnitVector."""
@@ -1169,11 +1219,10 @@ def decode(data: bytes, prefer_native: bool = True) -> DecodedMesh:
     fallback and the cross-check (the two are bit-identical,
     ``tests/test_draco.py``)."""
     if prefer_native:
-        # A native ValueError falls through to the Python decoder: the
-        # C++ port covers difference/parallelogram prediction only,
-        # while decode_py additionally handles constrained-multi-
-        # parallelogram and portable texcoords — a user asset encoded
-        # with those must not fail just because a toolchain is present.
+        # Any native failure falls through to the Python decoder, so a
+        # user asset never fails to load just because a toolchain is
+        # present (both paths cover the same four prediction schemes;
+        # the fallback guards future format corners).
         try:
             from .. import native
             result = native.draco_decode(data)
@@ -1295,52 +1344,9 @@ def decode_py(data: bytes) -> DecodedMesh:
     # seeds: face-creation (symbol) order, one corner per face
     seed_corners = [3 * f for f in range(num_faces)]
 
-    # corner -> point: unique (vertex, per-attribute-data wedge) tuples
     n_corners = 3 * num_faces
-    keys = np.empty((n_corners, 1 + len(att_views)), np.int64)
-    keys[:, 0] = table.cv
-    for j, (aid, view) in enumerate(sorted(att_views.items())):
-        keys[:, 1 + j] = view.cv
-    _, corner_tuple = np.unique(keys, axis=0, return_inverse=True)
-    # Upstream assigns points by walking each vertex's corner fan
-    # (MeshEdgebreakerDecoderImpl::AssignPointsToCorners), so corners
-    # with identical (vertex, wedge) tuples that lie in swing-
-    # DISCONNECTED sectors of the fan stay distinct points (duplicate-
-    # point retention in the S-merge/hole bookkeeping case; 2 points on
-    # 2 chevrolet primitives). Refine the tuple groups by connectivity
-    # under swing_right before assigning point ids.
-    parent = np.arange(n_corners, dtype=np.int64)
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    opp = table.opposite
-    for c in range(n_corners):
-        o = opp[_prev(c)]
-        if o < 0:
-            continue
-        r = _prev(o)  # swing_right(c)
-        if corner_tuple[r] == corner_tuple[c]:
-            ra, rb = find(c), find(r)
-            if ra != rb:
-                parent[rb] = ra
-    # point ids in first-encounter (corner) order so the native C++
-    # decoder (same scan over corners) produces identical output
-    corner_to_point = np.empty(n_corners, np.int64)
-    point_of_root: dict[int, int] = {}
-    for c in range(n_corners):
-        root = find(c)
-        pid = point_of_root.get(root)
-        if pid is None:
-            pid = len(point_of_root)
-            point_of_root[root] = pid
-        corner_to_point[c] = pid
-    num_points = len(point_of_root)
+    corner_to_point, num_points = assemble_points(
+        table, att_views, num_faces)
     faces = corner_to_point.reshape(-1, 3).astype(np.int32)
 
     # representative corner per point (for value lookups)

@@ -221,6 +221,122 @@ class TestNativeParity:
         assert checked >= 9
 
 
+class TestSyntheticStreams:
+    """Synthetic bitstreams (tools/draco_testgen.py) covering the
+    prediction schemes the reference corpus never uses: constrained-
+    multi-parallelogram (incl. crease flags) and portable texcoords —
+    decoded to the exact authored values by BOTH the Python and the
+    native C++ path, asserted bit-identical."""
+
+    BITS = 11
+    VMAX = (1 << BITS) - 1
+
+    def _point_entry_map(self, ctx):
+        import numpy as np
+        view, v2c, vert2val, c2p, num_points = ctx
+        pc = np.full(num_points, -1, np.int64)
+        for c in range(len(c2p) - 1, -1, -1):
+            pc[c2p[c]] = c
+        return np.asarray([vert2val[view.cv[c]] for c in pc])
+
+    def _check(self, stream, ctx, expect_by_uid):
+        import numpy as np
+
+        from realism_effects_tpu import native
+        from realism_effects_tpu.scene.draco import decode_py
+
+        mesh = decode_py(stream)
+        ent = self._point_entry_map(ctx)
+        for uid, (vals, nc) in expect_by_uid.items():
+            want = np.asarray(vals, np.float32).reshape(-1, nc)[ent]
+            assert np.array_equal(mesh.attributes[uid], want), uid
+        if native.draco_available():
+            faces, attrs, num_points = native.draco_decode(stream)
+            assert num_points == mesh.num_points
+            assert np.array_equal(faces, mesh.faces)
+            for uid, arr in mesh.attributes.items():
+                assert np.array_equal(
+                    np.asarray(arr, np.float64),
+                    np.asarray(attrs[uid], np.float64)), uid
+
+    def _pos_vals(self, ctx, seed=42):
+        import numpy as np
+        n_entries = len(ctx[1])
+        rng = np.random.default_rng(seed)
+        return rng.integers(
+            0, self.VMAX + 1, size=n_entries * 3).astype(np.int64)
+
+    def test_constrained_multi_parallelogram(self):
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "tools"))
+        import draco_testgen as G
+
+        # fan topology: entries with 2 complete parallelograms
+        symbols = G.fan_connectivity(5)
+        ctx = G.connectivity_context(symbols)
+        vals = self._pos_vals(ctx)
+        for crease_every in (0, 2, 1):   # none / mixed / all-creased
+            corr, crease = G.author_constrained_multi(
+                vals, 3, ctx, 0, self.VMAX, crease_every=crease_every)
+            sd = b""
+            for bits_arr in crease:
+                sd += G.varint(len(bits_arr))
+                if len(bits_arr):
+                    sd += G.rans_bit_stream(list(bits_arr.astype(int)))
+            data = G.quantized_data_block(corr, 4, 3, sd, self.BITS)
+            stream = G.assemble(symbols, [(G.desc_table(0, 3, 0, 2), data)])
+            self._check(stream, ctx, {0: (vals, 3)})
+
+    def test_texcoords_portable(self):
+        import struct
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "tools"))
+        import draco_testgen as G
+
+        symbols = G.fan_connectivity(5)
+        ctx = G.connectivity_context(symbols)
+        pos_vals = self._pos_vals(ctx)
+        n_entries = len(ctx[1])
+        uv_vals = self._pos_vals(ctx, seed=7)[: n_entries * 2]
+
+        pos_corr, _ = G.author_difference(pos_vals, 3, 0, self.VMAX)
+        pos_data = G.quantized_data_block(pos_corr, 0, 3, b"", self.BITS)
+
+        uv_corr, orientations = G.author_texcoords(
+            uv_vals, ctx, 0, self.VMAX,
+            pos_vals.reshape(-1, 3))
+        assert len(orientations) > 0   # the projection path really ran
+        obits = G.orientation_bits(orientations)
+        sd = struct.pack("<I", len(orientations)) + G.rans_bit_stream(obits)
+        uv_data = G.quantized_data_block(uv_corr, 5, 2, sd, self.BITS)
+
+        stream = G.assemble(symbols, [
+            (G.desc_table(0, 3, 0, 2), pos_data),     # ATT_POSITION
+            (G.desc_table(3, 2, 1, 2), uv_data),      # ATT_TEX_COORD
+        ])
+        self._check(stream, ctx, {0: (pos_vals, 3), 1: (uv_vals, 2)})
+
+    def test_strip_difference_and_parallelogram(self):
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "tools"))
+        import draco_testgen as G
+
+        ctx = G.connectivity_context(8)
+        vals = self._pos_vals(ctx)
+        for method, author in ((0, G.author_difference),
+                               (1, G.author_parallelogram)):
+            if method == 0:
+                corr, _ = author(vals, 3, 0, self.VMAX)
+            else:
+                corr, _ = author(vals, 3, ctx, 0, self.VMAX)
+            data = G.quantized_data_block(corr, method, 3, b"", self.BITS)
+            stream = G.assemble(8, [(G.desc_table(0, 3, 0, 2), data)])
+            self._check(stream, ctx, {0: (vals, 3)})
+
+
 class TestGltfIntegration:
     def test_draco_glb_loads_end_to_end(self):
         from realism_effects_tpu.scene.gltf import load_gltf
