@@ -217,6 +217,12 @@ class EffectComposer:
         #: to fall back to per-effect stages (collect_timings does so
         #: automatically, it needs the stage boundaries)
         self.fuse_effects = True
+        #: additionally fuse the raster+shade stage into that same
+        #: program: ONE dispatch per frame total. Same math; saves one
+        #: dispatch of host overhead at the cost of a bigger XLA program
+        #: (longer first compile). Measured on the TPU bench before
+        #: being made the default — see README perf notes.
+        self.fuse_raster = True
 
     # ------------------------------------------------------------------
     def add_effect(self, effect) -> "EffectComposer":
@@ -411,6 +417,22 @@ class EffectComposer:
 
         self._fused_stage = jax.jit(fused_stage, donate_argnums=(5,))
 
+        def full_stage(packed, ubuf, env, lighting, state):
+            # raster + shade + whole effect chain as ONE program: a
+            # single host dispatch per frame (fuse_raster mode)
+            gbuffer, velocity, color = raster_stage(
+                packed, ubuf, env, lighting)
+            last_velocity = state["__global__"]["last_velocity"]
+            image, eff_state = fused_stage(
+                ubuf, gbuffer, velocity, last_velocity, color,
+                {e.name: state[e.name] for e in effects}, env,
+            )
+            new_state = {"__global__": {"last_velocity": velocity}}
+            new_state.update(eff_state)
+            return image, new_state
+
+        self._full_stage = jax.jit(full_stage, donate_argnums=(4,))
+
     # ------------------------------------------------------------------
     def render(self, dt: float | None = None):
         """Render one frame; returns the (H, W, 3) image (device array).
@@ -529,6 +551,18 @@ class EffectComposer:
             ubuf.block_until_ready()
             t_last = time.perf_counter()
         env = self.scene.environment
+        if (external is None and self.fuse_raster and self.fuse_effects
+                and not timing and self.effects):
+            # single-dispatch frame: raster + effects in one program
+            image, self._state = self._full_stage(
+                self._packed, ubuf, env, self._lighting, self._state)
+            self._prev_world = unjit_world
+            self._prev_proj = unjit_proj
+            self._last_world = unjit_world
+            self.scene.commit_frame()
+            self.frame += 1
+            self._reset_pending = False
+            return image
         if external is None:
             gbuffer, velocity, color = self._raster_stage(
                 self._packed, ubuf, env, self._lighting
