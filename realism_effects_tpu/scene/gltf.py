@@ -61,6 +61,10 @@ import numpy as np
 from .animation import AnimationChannel, AnimationClip, decompose_trs
 from .geometry import Material, Mesh
 
+
+class GltfError(ValueError):
+    """Malformed or unsupported glTF input (clean parse failure)."""
+
 _COMPONENT_DTYPES = {
     5120: np.int8, 5121: np.uint8, 5122: np.int16,
     5123: np.uint16, 5125: np.uint32, 5126: np.float32,
@@ -92,16 +96,31 @@ def _read_glb(data: bytes):
     return gltf_json, bin_chunk
 
 
+def _safe_join(base_dir: str, uri: str) -> str:
+    """Resolve a relative resource uri, refusing paths that escape the
+    asset's directory (glTF files are untrusted input; a crafted uri
+    like ``../../etc/passwd`` must not read outside the asset dir)."""
+    from urllib.parse import unquote
+
+    path = os.path.normpath(os.path.join(base_dir, unquote(uri)))
+    base = os.path.abspath(base_dir)
+    if os.path.commonpath([os.path.abspath(path), base]) != base:
+        raise GltfError(f"glTF resource uri escapes asset directory: {uri!r}")
+    return path
+
+
 def _load_buffers(gltf: dict, bin_chunk, base_dir: str):
     buffers = []
     for buf in gltf.get("buffers", []):
         uri = buf.get("uri")
         if uri is None:
+            if bin_chunk is None:
+                raise GltfError("buffer references missing BIN chunk")
             buffers.append(bin_chunk)
         elif uri.startswith("data:"):
             buffers.append(base64.b64decode(uri.split(",", 1)[1]))
         else:
-            with open(os.path.join(base_dir, uri), "rb") as f:
+            with open(_safe_join(base_dir, uri), "rb") as f:
                 buffers.append(f.read())
     return buffers
 
@@ -165,7 +184,7 @@ def _decode_image(gltf: dict, buffers, base_dir: str, index: int):
             if uri.startswith("data:"):
                 raw = base64.b64decode(uri.split(",", 1)[1])
             else:
-                with open(os.path.join(base_dir, uri), "rb") as f:
+                with open(_safe_join(base_dir, uri), "rb") as f:
                     raw = f.read()
         else:
             view = gltf["bufferViews"][img["bufferView"]]
@@ -418,14 +437,38 @@ def load_gltf(path: str) -> list[Mesh]:
 
 
 def load_gltf_asset(path: str) -> GltfAsset:
-    """Load a .glb/.gltf file with its node hierarchy and animations."""
+    """Load a .glb/.gltf file with its node hierarchy and animations.
+
+    Malformed input raises :class:`GltfError` (a ``ValueError``) — glTF
+    files are untrusted, so every structural parse failure (bad chunk
+    framing, out-of-range indices, short buffers, invalid JSON) is
+    converted to a clean error instead of leaking implementation
+    exceptions (`tests/test_gltf.py::TestMalformedInput`)."""
+    try:
+        return _load_gltf_asset(path)
+    except GltfError:
+        raise
+    except (KeyError, IndexError, ValueError, TypeError, struct.error,
+            EOFError, UnicodeDecodeError) as e:
+        raise GltfError(
+            f"malformed glTF {os.path.basename(path)!r}: "
+            f"{type(e).__name__}: {e}") from e
+
+
+def _load_gltf_asset(path: str) -> GltfAsset:
     base_dir = os.path.dirname(os.path.abspath(path))
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] == b"glTF":
         gltf, bin_chunk = _read_glb(data)
     else:
-        gltf, bin_chunk = json.loads(data), None
+        try:
+            gltf = json.loads(data)
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            raise GltfError(f"not a GLB and not valid glTF JSON: {e}")
+        bin_chunk = None
+    if not isinstance(gltf, dict):
+        raise GltfError("glTF root is not an object")
 
     supported = {"KHR_draco_mesh_compression", "KHR_texture_transform",
                  "EXT_texture_webp"}

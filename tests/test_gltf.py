@@ -222,3 +222,78 @@ class TestGltfSkins:
         img = np.asarray(composer.render(dt=1 / 60))
         assert np.isfinite(img).all()
         assert img.std() > 1e-4
+
+
+class TestMalformedInput:
+    """glTF files are untrusted input: every parse failure must surface
+    as GltfError (a clean ValueError), never an implementation exception
+    or a crash, and resource uris must not escape the asset directory."""
+
+    REF = ("/root/reference/example/public/gltf/"
+           "flashbang_grenade.optimized.glb")
+
+    def _try(self, data, tmp_path, name="m.glb"):
+        from realism_effects_tpu.scene.gltf import GltfError, load_gltf_asset
+
+        p = tmp_path / name
+        p.write_bytes(data)
+        try:
+            load_gltf_asset(str(p))
+            return "ok"
+        except GltfError:
+            return "clean"
+
+    @pytest.mark.skipif(not os.path.exists(REF), reason="no reference")
+    def test_truncations_fail_cleanly(self, tmp_path):
+        data = open(self.REF, "rb").read()
+        for frac in (0.01, 0.1, 0.3, 0.6, 0.9, 0.999):
+            r = self._try(data[: int(len(data) * frac)], tmp_path)
+            assert r in ("ok", "clean"), frac
+
+    @pytest.mark.skipif(not os.path.exists(REF), reason="no reference")
+    def test_byte_flips_fail_cleanly(self, tmp_path):
+        data = bytearray(open(self.REF, "rb").read())
+        rng = np.random.default_rng(0)
+        for trial in range(12):
+            mutated = bytearray(data)
+            for _ in range(8):
+                i = int(rng.integers(0, len(mutated)))
+                mutated[i] ^= int(rng.integers(1, 256))
+            r = self._try(bytes(mutated), tmp_path, f"m{trial}.glb")
+            assert r in ("ok", "clean"), trial
+
+    def test_structural_garbage(self, tmp_path):
+        cases = [
+            b"",
+            b"glTF",                        # truncated header
+            b"glTF" + b"\x02\x00\x00\x00" + b"\x00" * 8,   # no chunks
+            b"not json at all {{{",
+            # wrong type for a node-referenced mesh
+            b'{"scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}], '
+            b'"meshes": 7}',
+            # accessor index out of range on a referenced mesh
+            b'{"scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}], '
+            b'"meshes": [{"primitives": [{"attributes": '
+            b'{"POSITION": 99}, "indices": 0}]}], "accessors": []}',
+            b"[1, 2, 3]",                   # non-object root
+        ]
+        for i, data in enumerate(cases):
+            name = f"g{i}.gltf" if not data.startswith(b"glTF") \
+                else f"g{i}.glb"
+            assert self._try(data, tmp_path, name) == "clean", i
+
+    def test_uri_escape_refused(self, tmp_path):
+        from realism_effects_tpu.scene.gltf import GltfError, load_gltf_asset
+
+        (tmp_path / "a").mkdir()
+        secret = tmp_path / "secret.bin"
+        secret.write_bytes(b"\x00" * 64)
+        doc = {
+            "asset": {"version": "2.0"},
+            "buffers": [{"uri": "../secret.bin", "byteLength": 64}],
+            "scenes": [{"nodes": []}],
+        }
+        p = tmp_path / "a" / "evil.gltf"
+        p.write_text(__import__("json").dumps(doc))
+        with pytest.raises(GltfError, match="escapes"):
+            load_gltf_asset(str(p))
