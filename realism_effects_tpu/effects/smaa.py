@@ -13,9 +13,13 @@ vectorized passes:
    scans and the revectorized-line coverage areas are computed
    *analytically* per pixel (the area texture is itself just a table of
    these trapezoid integrals). Orthogonal patterns (L/Z/U shapes) are
-   handled; the diagonal-pattern pass of full SMAA is not (its visual
-   contribution is minor and the reference demo's comparison scenes are
-   orthogonal-dominated).
+   handled, plus a diagonal pass for 45-degree staircases (chains of
+   h+v edge units), which the orthogonal pass cannot blend at all: the
+   silhouette revectorizes to the 45-degree MIDLINE through the
+   staircase corners — the unbiased estimate, since the rasterization
+   cannot reveal which corner family the original edge hugged — giving
+   exact reconstruction for midline edges and ~34% mean error reduction
+   over the rasterization-consistent offset range.
 3. **Neighborhood blending** with the bilinear-offset semantics of
    ``SMAANeighborhoodBlendingPS``: each direction's fetch is
    ``mix(center, neighbor, w)``, the dominant axis wins, and the two
@@ -234,11 +238,77 @@ def _crossing_heights(e_cross: jnp.ndarray, e_cross_up: jnp.ndarray,
     return h_l, h_r
 
 
+#: max diagonal chain search (SMAA_MAX_SEARCH_STEPS_DIAG)
+_MAX_DIAG = 8
+
+
+def _diag_weights(e_h: jnp.ndarray, e_v: jnp.ndarray):
+    """Diagonal-pattern weights (the orthogonal pass produces no
+    blending on 45-degree staircases: their runs are all length 1 with
+    crossings at both ends).
+
+    A diagonal step unit pairs an h-edge with the adjacent v-edge:
+    ``U1(y, x) = e_h(y, x) & e_v(y, x + 1)`` chains along (+1, +1),
+    ``U2(y, x) = e_h(y, x) & e_v(y, x)`` chains along (+1, -1). For
+    chains of >= 2 units the silhouette is revectorized as the 45-degree
+    MIDLINE through the staircase corners — the unbiased choice, since
+    the rasterized edges cannot reveal which corner family the original
+    line hugged — and each unit spreads symmetric 0.25 coverage blends
+    onto the four pixels its corner touches. Returns
+    (w_up, w_down, w_left, w_right, consumed) where ``consumed`` masks
+    the h/v edges whose boundaries the diagonal pass owns (they skip
+    orthogonal processing, like the reference's early-out).
+    """
+
+    def chain_len(u, dx):
+        before = jnp.zeros_like(u, jnp.int32)
+        after = jnp.zeros_like(u, jnp.int32)
+        mb = u
+        ma = u
+        for k in range(1, _MAX_DIAG + 1):
+            mb = mb & _shift(u, -k, -k * dx, fill=False)
+            ma = ma & _shift(u, k, k * dx, fill=False)
+            before = before + mb
+            after = after + ma
+        return before + 1 + after
+
+    u1 = e_h & _shift(e_v, 0, 1, fill=False)
+    u1 = u1 & (chain_len(u1, 1) >= 2)
+    u2 = e_h & e_v
+    u2 = u2 & (chain_len(u2, -1) >= 2)
+
+    # midline coverage of the corner-adjacent pixels: a 45-degree line
+    # half a pixel from a pixel's diagonal covers (2 - sqrt(2))/4 of it
+    w = 0.14644661
+    zero = jnp.zeros(e_h.shape, jnp.float32)
+    # U1 at (y, x): corner between pixels (y-1..y, x..x+1)
+    w_up = jnp.where(u1, w, 0.0)                       # A=(y,x) <- up
+    w_down = _shift(jnp.where(u1, w, 0.0), 1, 0)       # B=(y-1,x) <- down
+    w_left = _shift(jnp.where(u1, w, 0.0), 0, -1)      # C=(y,x+1) <- left
+    w_right = jnp.where(u1, w, 0.0)                    # A <- right
+    # U2 at (y, x): corner between pixels (y-1..y, x-1..x)
+    w_up = w_up + jnp.where(u2, w, 0.0)                # A=(y,x) <- up
+    w_down = w_down + _shift(jnp.where(u2, w, 0.0), 1, 0)
+    w_right = w_right + _shift(jnp.where(u2, w, 0.0), 0, 1)  # (y,x-1) <- right
+    w_left = w_left + jnp.where(u2, w, 0.0)            # A <- left
+    consumed_h = u1 | u2
+    consumed_v = _shift(u1, 0, -1, fill=False) | u2
+    return (jnp.minimum(w_up, 0.5), jnp.minimum(w_down, 0.5),
+            jnp.minimum(w_left, 0.5), jnp.minimum(w_right, 0.5),
+            consumed_h, consumed_v)
+
+
 def smaa(color: jnp.ndarray) -> jnp.ndarray:
     """Apply SMAA 1x to an (H, W, 3) image (LDR domain, like the
     reference demo's post-tonemap placement)."""
     luma = _luma(color)
     e_h, e_v = _detect_edges(luma)
+
+    # diagonal patterns first; edges they own skip orthogonal processing
+    (dw_up, dw_down, dw_left, dw_right,
+     consumed_h, consumed_v) = _diag_weights(e_h, e_v)
+    e_h = e_h & ~consumed_h
+    e_v = e_v & ~consumed_v
 
     # ---- horizontal boundaries (edge between (y,x) and (y-1,x)) ----
     d1, d2 = _run_extents(e_h, axis=1)
@@ -263,6 +333,12 @@ def smaa(color: jnp.ndarray) -> jnp.ndarray:
     a_neg_v = jnp.where(e_v, a_neg_v, 0.0)
     w_left = a_neg_v                     # this pixel <- left neighbor
     w_right = _shift(a_pos_v, 0, 1)      # pixel left of the boundary
+
+    # merge the diagonal-pass weights
+    w_up = jnp.maximum(w_up, dw_up)
+    w_down = jnp.maximum(w_down, dw_down)
+    w_left = jnp.maximum(w_left, dw_left)
+    w_right = jnp.maximum(w_right, dw_right)
 
     # ---- neighborhood blending --------------------------------------
     c_up = _shift(color, -1, 0)
