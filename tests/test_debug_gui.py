@@ -55,3 +55,41 @@ class TestGuiState:
         eff = SSGIEffect(**{k: v for k, v in st.kwargs.items() if v != ""})
         assert eff.distance == 5.0
         assert eff.cfg.steps == 6
+
+
+class TestHttpRoundTrip:
+    def test_server_endpoints(self):
+        """Full HTTP round trip: /state, /set (uniform + static),
+        /advance, /config against a live server on a random port."""
+        import json
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        import debug_gui
+
+        state = debug_gui.GuiState("showcase", "hbao", 40, aa=False)
+        server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                     debug_gui.make_handler(state))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            def api(path, body=None):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}",
+                    data=json.dumps(body).encode() if body else None,
+                    method="POST" if body else "GET")
+                return json.loads(urllib.request.urlopen(
+                    req, timeout=300).read())
+
+            s = api("/state")
+            assert s["effect"] == "hbao" and s["png"]
+            r = api("/set", {"name": "power", "value": 3.0})
+            assert "power=3.0" in r["config"]
+            r = api("/set", {"name": "spp", "value": 2})
+            assert "retraced" in r["note"]
+            assert api("/advance", {"frames": 2})["png"]
+            assert api("/config")["kwargs"]["spp"] == 2
+        finally:
+            server.shutdown()

@@ -370,3 +370,42 @@ class TestGltfIntegration:
         assert img.shape == (64, 64, 3)
         assert np.isfinite(img).all()
         assert img.std() > 1e-4  # actually drew something
+
+
+class TestFuzzResistance:
+    def test_random_mutations_never_crash_native(self):
+        """Feed the native decoder randomly mutated real streams and
+        pure garbage: every outcome must be a clean decode or a
+        ValueError — never memory corruption (the process surviving the
+        loop is the assertion)."""
+        from draco_corpus import glb_draco_streams
+
+        from realism_effects_tpu import native
+
+        if not native.draco_available():
+            pytest.skip("no toolchain for native draco")
+        base = None
+        for s in glb_draco_streams(
+                os.path.join(GLTF_DIR, "flashbang_grenade.optimized.glb")):
+            base = bytearray(s["data"])
+            break
+        rng = np.random.default_rng(1)
+        outcomes = {"ok": 0, "error": 0}
+        for trial in range(60):
+            m = bytearray(base)
+            for _ in range(int(rng.integers(1, 24))):
+                m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            try:
+                native.draco_decode(bytes(m))
+                outcomes["ok"] += 1
+            except ValueError:
+                outcomes["error"] += 1
+        for trial in range(40):
+            junk = bytes(rng.integers(0, 256, int(rng.integers(8, 4096)),
+                                      dtype=np.uint8))
+            try:
+                native.draco_decode(b"DRACO" + junk)
+                outcomes["ok"] += 1
+            except ValueError:
+                outcomes["error"] += 1
+        assert outcomes["error"] > 0   # mutations do get caught
