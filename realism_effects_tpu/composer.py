@@ -61,6 +61,10 @@ class FrameContext:
     frame_index: jnp.ndarray          # traced int32 scalar
     params: dict                      # per-effect uniform dicts
     env: object                       # EquirectEnv | None
+    #: restricted G-buffer (excluded faces absent) for exact SSGI
+    #: Selection semantics (`SSGIPass.js:71-79`); None unless an effect
+    #: requests ``selection="rerender"`` and the scene excludes meshes
+    gi_gbuffer: object = None
 
 
 class UniformLayout:
@@ -322,6 +326,15 @@ class EffectComposer:
             m.material.diffuse[3] < 1.0 or m.material.alpha_map is not None
             for m in self.scene.meshes
         )
+        # exact Selection: a second, restricted raster pass is built only
+        # when requested AND something is excluded (the membership itself
+        # stays a uniform — toggling WHICH meshes are excluded does not
+        # retrace)
+        gi_rerender = (
+            any(getattr(e, "selection", "mask") == "rerender"
+                for e in self.effects)
+            and any(m.gi_exclude for m in self.scene.meshes)
+        )
 
         def raster_stage(packed, ubuf, env, lighting):
             cam = _unpack_camera(layout, ubuf, "cam")
@@ -365,13 +378,23 @@ class EffectComposer:
                 alpha_peels=self.alpha_peels,
             )
             color = shade_direct(gbuffer, cam, lighting, env)
-            return gbuffer, velocity, color
+            gi_gbuffer = None
+            if gi_rerender:
+                fm = packed.vert_mesh_id[packed.faces[:, 0]]
+                face_keep = layout.get(ubuf, "gi_mask")[fm] > 0.5
+                gi_gbuffer = rasterize_gbuffer(
+                    packed, model_mats, cam.projection_view_matrix, h, w,
+                    bones=bones, dither=dither, cnmf=cnmf,
+                    morph_weights=morph_w, alpha_peels=self.alpha_peels,
+                    face_keep=face_keep,
+                )
+            return gbuffer, velocity, color, gi_gbuffer
 
         self._raster_stage = jax.jit(raster_stage)
 
         def make_stage(e):
             def stage(ubuf, gbuffer, velocity, last_velocity, scene_color,
-                      color, state, env):
+                      color, state, env, gi_gbuffer=None):
                 ctx = FrameContext(
                     gbuffer=gbuffer,
                     velocity=velocity,
@@ -383,6 +406,7 @@ class EffectComposer:
                     frame_index=layout.get(ubuf, "frame_index").astype(jnp.int32),
                     params=self._params_from_buf(ubuf),
                     env=env,
+                    gi_gbuffer=gi_gbuffer,
                 )
                 return e.apply(ctx, color, state)
             return jax.jit(stage, donate_argnums=(6,))
@@ -392,7 +416,7 @@ class EffectComposer:
         effects = tuple(self.effects)
 
         def fused_stage(ubuf, gbuffer, velocity, last_velocity,
-                        scene_color, state, env):
+                        scene_color, state, env, gi_gbuffer=None):
             # whole effect chain in ONE program: same math as the staged
             # path, but a single host dispatch per frame (the loop is
             # host-dispatch-bound at ~1 ms; each saved dispatch is real
@@ -408,6 +432,7 @@ class EffectComposer:
                 frame_index=layout.get(ubuf, "frame_index").astype(jnp.int32),
                 params=self._params_from_buf(ubuf),
                 env=env,
+                gi_gbuffer=gi_gbuffer,
             )
             image = scene_color
             new_state = {}
@@ -420,12 +445,13 @@ class EffectComposer:
         def full_stage(packed, ubuf, env, lighting, state):
             # raster + shade + whole effect chain as ONE program: a
             # single host dispatch per frame (fuse_raster mode)
-            gbuffer, velocity, color = raster_stage(
+            gbuffer, velocity, color, gi_gbuffer = raster_stage(
                 packed, ubuf, env, lighting)
             last_velocity = state["__global__"]["last_velocity"]
             image, eff_state = fused_stage(
                 ubuf, gbuffer, velocity, last_velocity, color,
                 {e.name: state[e.name] for e in effects}, env,
+                gi_gbuffer,
             )
             new_state = {"__global__": {"last_velocity": velocity}}
             new_state.update(eff_state)
@@ -468,8 +494,12 @@ class EffectComposer:
         if self._lighting is None:
             self._lighting = self.scene.lighting_params()
 
-        static_sig = (self.alpha_peels,) + tuple(
-            (e.name, e.static_key()) for e in self.effects)
+        static_sig = (
+            self.alpha_peels,
+            # whether a restricted-re-render raster pass exists at all
+            # (WHICH meshes are excluded stays a per-frame uniform)
+            any(m.gi_exclude for m in self.scene.meshes),
+        ) + tuple((e.name, e.static_key()) for e in self.effects)
         if self._raster_stage is None or static_sig != self._static_sig:
             self._layout = self._build_layout()
             self._build_stages()
@@ -564,7 +594,7 @@ class EffectComposer:
             self._reset_pending = False
             return image
         if external is None:
-            gbuffer, velocity, color = self._raster_stage(
+            gbuffer, velocity, color, gi_gbuffer = self._raster_stage(
                 self._packed, ubuf, env, self._lighting
             )
             if timing:
@@ -574,12 +604,14 @@ class EffectComposer:
                 t_last = t_now
         else:
             gbuffer, velocity, color = external
+            gi_gbuffer = None
         last_velocity = self._state["__global__"]["last_velocity"]
         new_state = {"__global__": {"last_velocity": velocity}}
         if self.fuse_effects and not timing and self.effects:
             image, fused_state = self._fused_stage(
                 ubuf, gbuffer, velocity, last_velocity, color,
                 {e.name: self._state[e.name] for e in self.effects}, env,
+                gi_gbuffer,
             )
             new_state.update(fused_state)
         else:
@@ -587,7 +619,7 @@ class EffectComposer:
             for e, stage in zip(self.effects, self._effect_stages):
                 image, new_state[e.name] = stage(
                     ubuf, gbuffer, velocity, last_velocity, color,
-                    image, self._state[e.name], env,
+                    image, self._state[e.name], env, gi_gbuffer,
                 )
                 if timing:
                     jax.block_until_ready(image)
@@ -637,6 +669,11 @@ class EffectComposer:
         """
         effects = tuple(self.effects)
         h, w = self.height, self.width
+        gi_rerender = (
+            any(getattr(e, "selection", "mask") == "rerender"
+                for e in effects)
+            and any(m.gi_exclude for m in self.scene.meshes)
+        )
 
         def frame_fn(packed, model_mats, prev_model_mats, cam, unjit_cam,
                      prev_cam, state, params, frame_index, env, lighting):
@@ -645,6 +682,15 @@ class EffectComposer:
                 packed, model_mats, cam.projection_view_matrix, h, w,
                 morph_weights=g.get("morph_weights"),
             )
+            gi_gbuffer = None
+            if gi_rerender:
+                fm = packed.vert_mesh_id[packed.faces[:, 0]]
+                face_keep = g["gi_mask_meshes"][fm] > 0.5
+                gi_gbuffer = rasterize_gbuffer(
+                    packed, model_mats, cam.projection_view_matrix, h, w,
+                    morph_weights=g.get("morph_weights"),
+                    face_keep=face_keep,
+                )
             velocity = rasterize_velocity(
                 packed, model_mats, prev_model_mats,
                 unjit_cam.projection_view_matrix,
@@ -664,6 +710,7 @@ class EffectComposer:
                 frame_index=frame_index,
                 params=params,
                 env=env,
+                gi_gbuffer=gi_gbuffer,
             )
             new_state = {"__global__": {"last_velocity": velocity}}
             for e in effects:

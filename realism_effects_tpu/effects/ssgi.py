@@ -86,6 +86,7 @@ class SSGIEffect(Effect):
                  use_direct_light: bool = False,
                  env_box: tuple | None = None,
                  preset: str | None = None,
+                 selection: str = "mask",
                  output_texture: str | None = None):
         if preset is not None:
             p = SSGI_PRESETS[preset]
@@ -99,6 +100,17 @@ class SSGIEffect(Effect):
         self.denoise_mode = denoise_mode
         self.fog_color = fog_color
         self.fog_density = fog_density
+        #: how ``Mesh.gi_exclude`` restricts the GI G-buffer
+        #: (`SSGIPass.js:71-79` camera-layer Selection):
+        #: "mask"     — derive the restricted buffer by masking excluded
+        #:              pixels to background (free; geometry occluded
+        #:              *behind* an excluded mesh stays hidden),
+        #: "rerender" — true restricted re-render without the excluded
+        #:              faces (exact reference semantics incl. revealing
+        #:              occluded geometry; costs one extra raster pass)
+        if selection not in ("mask", "rerender"):
+            raise ValueError("selection must be 'mask' or 'rerender'")
+        self.selection = selection
         #: debug routing like the reference's ``outputTexture`` option
         #: (`SSGIEffect.js:228-251`): None | "diffuse" | "specular" |
         #: "denoised_diffuse" | "denoised_specular" | "composed"
@@ -129,7 +141,7 @@ class SSGIEffect(Effect):
     # ------------------------------------------------------------------
     def static_key(self):
         return (self.cfg, self.temporal_cfg, self.denoise_cfg,
-                self.denoise_mode, self.output_texture,
+                self.denoise_mode, self.output_texture, self.selection,
                 self.fog_color, self.fog_density, self.resolution_scale)
 
     def uniforms(self):
@@ -163,7 +175,15 @@ class SSGIEffect(Effect):
         gbuffer = ctx.gbuffer
         mesh_id = getattr(gbuffer, "mesh_id", None)
         gi_w = g.get("gi_mask_meshes")
-        if mesh_id is not None and gi_w is not None:
+        gi_rerender = getattr(ctx, "gi_gbuffer", None)
+        if self.selection == "rerender" and gi_rerender is not None:
+            # exact camera-layer re-render: the composer rasterized a
+            # second G-buffer without the excluded faces; the WHOLE
+            # chain (trace, temporal, denoise, compose depth test) runs
+            # on it, exactly like `SSGIPass.js:74-77` + the compose
+            # shader's restricted depthTexture (`ssgi_compose.frag`).
+            gbuffer = gi_rerender
+        elif mesh_id is not None and gi_w is not None:
             sel = jnp.where(
                 mesh_id >= 0, gi_w[jnp.maximum(mesh_id, 0)], 1.0) > 0.5
             s1 = sel[..., None]

@@ -114,7 +114,8 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
                 dither: jnp.ndarray | None = None,
                 cnmf=None,
                 alpha_tex: tuple | None = None,
-                alpha_peels: int = _ALPHA_PEELS):
+                alpha_peels: int = _ALPHA_PEELS,
+                face_keep: jnp.ndarray | None = None):
     """Z-buffer visibility: winning triangle id per pixel (-1 = none).
 
     ``tri_alpha``/``dither`` implement stochastic-alpha transparency with
@@ -176,6 +177,11 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
     wprod = tri_w[:, 0] * tri_w[:, 1] * tri_w[:, 2]
     valid_tri = (jnp.abs(det) > 1e-14) & (tri_ids >= 0)
     valid_tri &= jnp.abs(det) > 2e-6 * jnp.abs(wprod)
+    if face_keep is not None:
+        # per-face participation mask (camera-layer Selection analog:
+        # excluded meshes are simply absent from this render)
+        valid_tri &= jnp.concatenate(
+            [face_keep, jnp.zeros((pad,), jnp.bool_)])
     w_safe = jnp.where(jnp.abs(tri_h[..., 2]) > 1e-20, tri_h[..., 2], 1e-20)
     px_v = tri_h[..., 0] / w_safe                      # (F', 3)
     py_v = tri_h[..., 1] / w_safe
@@ -442,12 +448,15 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
                       dither: jnp.ndarray | None = None,
                       cnmf=0.0,
                       morph_weights: jnp.ndarray | None = None,
-                      alpha_peels: int = _ALPHA_PEELS) -> GBuffer:
+                      alpha_peels: int = _ALPHA_PEELS,
+                      face_keep: jnp.ndarray | None = None) -> GBuffer:
     """Render the SoA G-buffer (K16 semantics: optional morph targets,
     skinning, and stochastic-alpha transparency via ``dither`` (H, W)
     noise + ``cnmf`` = cameraNotMovedFrames for the convergence law).
     ``alpha_peels`` bounds alpha-map transparency depth (static: each
-    extra peel adds a raster pass)."""
+    extra peel adds a raster pass). ``face_keep`` (F,) bool drops faces
+    from the render entirely — the camera-layer restricted re-render
+    used by exact SSGI Selection (`SSGIPass.js:71-79`)."""
     world_pos, world_nrm = _world_transform(
         packed, model_mats, bones, morph_weights
     )
@@ -455,7 +464,7 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
     tri_alpha, alpha_tex = _alpha_inputs(packed, dither)
     ids, depth01 = _visibility(clip, packed.faces, height, width,
                                tri_alpha, dither, cnmf, alpha_tex,
-                               alpha_peels)
+                               alpha_peels, face_keep=face_keep)
     vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
 
     nrm = _interp(world_nrm, vidx, wts)

@@ -132,3 +132,82 @@ def test_mirror_floor_does_not_reflect_excluded_mesh():
     box_px = mesh_id == 1
     assert box_px.sum() > 100
     assert exc[box_px].mean() > 1.0  # emissive box still directly visible
+
+
+# ---------------------------------------------------------------------------
+# selection="rerender": exact camera-layer re-render semantics
+# ---------------------------------------------------------------------------
+
+def test_face_keep_matches_scene_without_mesh():
+    """The restricted raster (``face_keep``) must be pixel-identical to
+    rasterizing a scene that never contained the excluded mesh — the
+    literal meaning of `SSGIPass.js:74` rendering only the selected
+    layer."""
+    hw = 72
+    scene_with, cam = _scene(exclude_box=True)
+    scene_without = Scene()
+    for m in scene_with.meshes[:2]:  # floor + glow, same order/ids
+        scene_without.add(m)
+    m4 = cam.matrices()
+
+    packed = scene_with.pack()
+    keep = np.asarray(scene_with.gi_mask())[
+        np.asarray(packed.vert_mesh_id)[np.asarray(packed.faces)[:, 0]]
+    ] > 0.5
+    gb_keep = rasterize_gbuffer(
+        packed, scene_with.model_matrices(), m4.projection_view_matrix,
+        hw, hw, face_keep=np.asarray(keep))
+    gb_ref = rasterize_gbuffer(
+        scene_without.pack(), scene_without.model_matrices(),
+        m4.projection_view_matrix, hw, hw)
+    np.testing.assert_array_equal(
+        np.asarray(gb_keep.depth), np.asarray(gb_ref.depth))
+    np.testing.assert_array_equal(
+        np.asarray(gb_keep.mesh_id), np.asarray(gb_ref.mesh_id))
+    np.testing.assert_array_equal(
+        np.asarray(gb_keep.diffuse), np.asarray(gb_ref.diffuse))
+    np.testing.assert_array_equal(
+        np.asarray(gb_keep.normal), np.asarray(gb_ref.normal))
+
+
+def _render_mode(selection, frames=4, hw=72):
+    scene, cam = _scene(exclude_box=True)
+    composer = EffectComposer(scene, cam, hw, hw)
+    composer.add_effect(
+        SSGIEffect(steps=8, refine_steps=2, selection=selection))
+    img = None
+    for _ in range(frames):
+        img = np.asarray(composer.render(dt=1 / 60))
+    packed = scene.pack()
+    m = cam.matrices()
+    gb = rasterize_gbuffer(
+        packed, scene.model_matrices(), m.projection_view_matrix, hw, hw)
+    return img, np.asarray(gb.mesh_id), np.asarray(gb.depth)
+
+
+def test_rerender_reveals_geometry_behind_excluded_mesh():
+    """Exact reference semantics: with ``selection="rerender"`` the whole
+    SSGI chain (incl. the compose depth test, `ssgi_compose.frag:28-32`)
+    runs on the restricted G-buffer, so pixels of an excluded mesh with
+    geometry *behind* it show that geometry's GI result (the reference's
+    punch-through), not plain scene color; ``"mask"`` keeps scene color
+    there (background substitute). The two modes must agree wherever the
+    excluded mesh is absent."""
+    mask_img, mesh_id, _ = _render_mode("mask")
+    rr_img, _, _ = _render_mode("rerender")
+    plain_img, _ = _render(exclude_box=True, with_gi=False)
+
+    box_px = mesh_id == 2
+    assert box_px.sum() > 30
+    # mask mode: excluded pixels = plain scene color (existing contract)
+    np.testing.assert_allclose(mask_img[box_px], plain_img[box_px],
+                               atol=1e-5)
+    # rerender mode: the floor behind the box punches through on a
+    # meaningful share of the box's pixels
+    diff = np.abs(rr_img[box_px] - plain_img[box_px]).max(-1)
+    assert (diff > 0.05).mean() > 0.3
+    # away from the excluded mesh the two modes agree (same restricted
+    # inputs up to ray marches that crossed the box's footprint)
+    other = mesh_id != 2
+    agree = np.abs(rr_img[other] - mask_img[other]).max(-1)
+    assert np.median(agree) < 2e-2
