@@ -5,6 +5,20 @@ Baseline (BASELINE.md north star): full SSGI+HBAO+TRAA+motion-blur stack
 at 1080p in < 8 ms/frame on one v5e chip. vs_baseline = baseline_ms /
 measured_ms (>1 means faster than target).
 
+MEASUREMENT VALIDITY (the r3 methodology fix): on this TPU tunnel,
+``block_until_ready()`` alone does NOT force execution until the process
+has performed at least one device->host readback — before that, frames
+are silently queued and "blocked" timings report ~1 ms for work that
+really takes seconds (verified: the same frame measures identically via
+block-only, per-frame readback, and N-frames-amortized once a readback
+has occurred; see CLAUDE.md rule 2). Every loop below therefore reads
+back a scalar from each rendered frame — first during warmup (which
+flips the process into synchronous mode and absorbs the
+minutes-long first-readback cost) and then once per timed frame (a
+4-byte transfer, ~3 ms, negligible against honest frame times).
+Numbers recorded before round 3 (BENCH_r01/r02) predate this fix and
+understate true frame cost by orders of magnitude.
+
 ``--config N`` (1..5) instead runs one of BASELINE.md's staged configs:
   1: VelocityDepthNormal + TRAA at 512x512
   2: HBAO + Poisson denoise (4 iterations) at 1080p, static scene
@@ -32,8 +46,53 @@ import numpy as np
 
 BASELINE_MS = 8.0
 WIDTH, HEIGHT = 1920, 1080
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 5
+
+
+def _sync(img) -> float:
+    """Force execution of everything ``img`` depends on.
+
+    A scalar readback is the only reliable execution barrier on this
+    tunnel (see module docstring); returns the scalar so callers can
+    sanity-check frames differ."""
+    import jax.numpy as jnp
+
+    return float(jnp.max(img))
+
+
+def _measure(composer, animate, warmup=WARMUP, iters=ITERS):
+    """Median ms/frame with readback-forced timing."""
+    for f in range(warmup):
+        if animate:
+            animate(f)
+        _sync(composer.render(dt=1 / 60))
+    times = []
+    for f in range(iters):
+        if animate:
+            animate(warmup + f)
+        t0 = time.perf_counter()
+        _sync(composer.render(dt=1 / 60))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.median(times))
+
+
+def _measure_stages(composer, animate, start_frame, iters=ITERS):
+    """Median per-stage ms via the composer's staged path.
+
+    Valid only after _measure (the process is in synchronous mode, so
+    the per-stage ``block_until_ready`` calls actually block); the final
+    image is still read back each frame as a belt-and-braces barrier."""
+    composer.collect_timings = True
+    stage_times: dict[str, list] = {}
+    for f in range(iters):
+        if animate:
+            animate(start_frame + f)
+        _sync(composer.render(dt=1 / 60))
+        for k, v in composer.last_timings.items():
+            stage_times.setdefault(k, []).append(v)
+    composer.collect_timings = False
+    return {k: float(np.median(v)) for k, v in stage_times.items()}
 
 
 def build_composer():
@@ -110,28 +169,14 @@ def _sponza_orbit(cam, f):
 
 def run_sponza(breakdown: bool):
     composer, cam = build_sponza_composer()
-    for f in range(WARMUP):
-        _sponza_orbit(cam, f)
-        composer.render(dt=1 / 60).block_until_ready()
-    times = []
-    for f in range(ITERS):
-        _sponza_orbit(cam, WARMUP + f)
-        t0 = time.perf_counter()
-        composer.render(dt=1 / 60).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1000.0)
-    total = float(np.median(times))
+    animate = lambda f: _sponza_orbit(cam, f)
+    total = _measure(composer, animate)
     if breakdown:
-        composer.collect_timings = True
-        stage_times: dict[str, list] = {}
-        for f in range(ITERS):
-            _sponza_orbit(cam, WARMUP + ITERS + f)
-            composer.render(dt=1 / 60)
-            for k, v in composer.last_timings.items():
-                stage_times.setdefault(k, []).append(v)
-        for k, v in stage_times.items():
+        stages = _measure_stages(composer, animate, WARMUP + ITERS)
+        for k, ms in stages.items():
             print(json.dumps({
                 "metric": f"pass_ms_sponza_1080p.{k}",
-                "value": round(float(np.median(v)), 3),
+                "value": round(ms, 3),
                 "unit": "ms/frame",
                 "vs_baseline": round(BASELINE_MS / total, 3),
             }))
@@ -221,18 +266,7 @@ def build_config(n: int):
 
 def run_config(n: int):
     composer, animate, name = build_config(n)
-    for f in range(WARMUP):
-        if animate:
-            animate(f)
-        composer.render(dt=1 / 60).block_until_ready()
-    times = []
-    for f in range(ITERS):
-        if animate:
-            animate(WARMUP + f)
-        t0 = time.perf_counter()
-        composer.render(dt=1 / 60).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1000.0)
-    ms = float(np.median(times))
+    ms = _measure(composer, animate)
     print(json.dumps({
         "metric": name, "value": round(ms, 3), "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / ms, 3),
@@ -248,29 +282,11 @@ def _orbit(cam, f):
 def run_breakdown():
     """Per-pass ms at 1080p (BASELINE.json's prescribed metric)."""
     composer, cam = build_composer()
-    for f in range(WARMUP):
-        _orbit(cam, f)
-        composer.render(dt=1 / 60).block_until_ready()
-
-    # pipelined total (stages free-run, single end-of-frame sync)
-    times = []
-    for f in range(ITERS):
-        _orbit(cam, WARMUP + f)
-        t0 = time.perf_counter()
-        composer.render(dt=1 / 60).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1000.0)
-    total = float(np.median(times))
-
-    # per-stage, with a sync after each stage
-    composer.collect_timings = True
-    stage_times: dict[str, list] = {}
-    for f in range(ITERS):
-        _orbit(cam, WARMUP + ITERS + f)
-        composer.render(dt=1 / 60)
-        for k, v in composer.last_timings.items():
-            stage_times.setdefault(k, []).append(v)
-    for k, v in stage_times.items():
-        ms = float(np.median(v))
+    animate = lambda f: _orbit(cam, f)
+    # fused single-dispatch total, then per-stage with a sync per stage
+    total = _measure(composer, animate)
+    stages = _measure_stages(composer, animate, WARMUP + ITERS)
+    for k, ms in stages.items():
         print(json.dumps({
             "metric": f"pass_ms_1080p.{k}", "value": round(ms, 3),
             "unit": "ms/frame", "vs_baseline": round(BASELINE_MS / total, 3),
@@ -317,20 +333,7 @@ def main():
         run_breakdown()
         return
     composer, cam = build_composer()
-
-    # warmup / compile (camera orbits so velocity paths stay live)
-    for f in range(WARMUP):
-        _orbit(cam, f)
-        composer.render(dt=1 / 60).block_until_ready()
-
-    times = []
-    for f in range(ITERS):
-        _orbit(cam, 5 + WARMUP + f)
-        t0 = time.perf_counter()
-        composer.render(dt=1 / 60).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1000.0)
-
-    ms = float(np.median(times))
+    ms = _measure(composer, lambda f: _orbit(cam, f))
     print(json.dumps({
         "metric": "frame_ms_1080p_full_stack_ssgi_hbao_traa_mb",
         "value": round(ms, 3),

@@ -11,8 +11,22 @@ u along width; addressing is clamp-to-edge like three.js render targets.
 - :func:`sample_bilinear_mip` — trilinear fetch from an explicit mip chain
   (env-map ``textureLod`` with lod > 0, `ssgi_utils.frag:90-92`)
 
-These lower to XLA gathers; hot call sites can later swap in Pallas
-variants without changing callers.
+Performance model (measured on TPU v5e through XLA): a gather is priced
+per *index*, ~10 ns each at 1080p (2M indices), with the payload free up
+to ~32 bytes per index (8 f32 channels). Four separate corner fetches for
+one bilinear tap therefore cost 4x what they need to. The fix used
+throughout this module is **neighbor packing**: shift-and-concat the
+texture's 2x2 neighborhood into channels once (pure VPU work, amortized
+across every tap into the same texture by XLA CSE), then fetch each
+bilinear tap with ONE gather:
+
+- C <= 2 channels -> quad pack (H, W, 4C): 1 gather per tap
+- C <= 4 channels -> vertical pair pack (H, W, 2C): 2 gathers per tap
+- wider           -> plain 4-corner gathers
+
+``lax.gather`` with 2D ``slice_sizes`` was measured 200x slower than this
+(pathological lowering) and row gathers from flat ``(N, C)`` tables 6x
+slower than ``tex[y, x]`` on ``(H, W, C)`` — hence the layouts below.
 """
 
 from __future__ import annotations
@@ -24,14 +38,34 @@ import jax.numpy as jnp
 def _gather2d(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """Clamped integer gather from (H, W[, C]).
 
-    Plain XLA gathers run at full speed on this target for every table
-    size measured (a one-hot-matmul variant was tried for small tables
-    and removed: the bf16 MXU path rounds table values).
+    Single-channel maps flatten to a 1-D table (the fastest measured
+    pattern); multi-channel maps use ``tex[y, x]`` on (H, W, C), whose
+    payload rides free up to 8 f32 channels.
     """
     h, w = tex.shape[0], tex.shape[1]
     iy = jnp.clip(iy, 0, h - 1)
     ix = jnp.clip(ix, 0, w - 1)
+    if tex.ndim == 2:
+        return tex.reshape(-1)[iy * w + ix]
     return tex[iy, ix]
+
+
+def _pack_pair(tex: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 2C): [self, down-neighbor] with edge clamp."""
+    down = jnp.concatenate([tex[1:], tex[-1:]], axis=0)
+    return jnp.concatenate([tex, down], axis=-1)
+
+
+def _pack_quad(tex: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 4C): [c00, c01, c10, c11] neighborhood.
+
+    c01 = right neighbor, c10 = down, c11 = diagonal; all edge-clamped so
+    a fetch at the last row/col reproduces GL clamp-to-edge exactly.
+    """
+    right = jnp.concatenate([tex[:, 1:], tex[:, -1:]], axis=1)
+    down = jnp.concatenate([tex[1:], tex[-1:]], axis=0)
+    diag = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    return jnp.concatenate([tex, right, down, diag], axis=-1)
 
 
 def sample_nearest(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +82,14 @@ def texel_fetch(tex: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarr
 
 
 def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear fetch with clamp-to-edge, matching GL LinearFilter."""
+    """Bilinear fetch with clamp-to-edge, matching GL LinearFilter.
+
+    One gather per tap for <= 2 channels (quad pack), two for <= 4
+    channels (pair pack); bit-identical to four clamped corner fetches
+    (the negative-side clamp degeneracy is reproduced by zeroing the
+    lerp fraction where ``floor`` landed at -1, which the four-fetch
+    formula makes exact by ``c00 == c01``).
+    """
     h, w = tex.shape[0], tex.shape[1]
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
@@ -56,20 +97,40 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
+    # clamp degeneracy: at x0 < 0 all corner fetches clamp to column 0,
+    # making the x-lerp a no-op; packed fetches reproduce that with fx=0
+    fx = jnp.where(x0 < 0.0, 0.0, fx)
+    fy = jnp.where(y0 < 0.0, 0.0, fy)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
 
-    c00 = _gather2d(tex, y0, x0)
-    c01 = _gather2d(tex, y0, x0 + 1)
-    c10 = _gather2d(tex, y0 + 1, x0)
-    c11 = _gather2d(tex, y0 + 1, x0 + 1)
+    squeeze = tex.ndim == 2
+    base = tex[..., None] if squeeze else tex
+    c = base.shape[2]
 
-    if tex.ndim == 3:
-        fx = fx[..., None]
-        fy = fy[..., None]
+    if c <= 2:
+        q = _gather2d(_pack_quad(base), y0, x0)
+        c00, c01, c10, c11 = (
+            q[..., :c], q[..., c:2 * c], q[..., 2 * c:3 * c], q[..., 3 * c:]
+        )
+    elif c <= 4:
+        p = _pack_pair(base)
+        left = _gather2d(p, y0, x0)
+        right = _gather2d(p, y0, x0 + 1)
+        c00, c10 = left[..., :c], left[..., c:]
+        c01, c11 = right[..., :c], right[..., c:]
+    else:
+        c00 = _gather2d(base, y0, x0)
+        c01 = _gather2d(base, y0, x0 + 1)
+        c10 = _gather2d(base, y0 + 1, x0)
+        c11 = _gather2d(base, y0 + 1, x0 + 1)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
     top = c00 + (c01 - c00) * fx
     bot = c10 + (c11 - c10) * fx
-    return top + (bot - top) * fy
+    out = top + (bot - top) * fy
+    return out[..., 0] if squeeze else out
 
 
 def sample_catmull_rom_5tap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -122,21 +183,25 @@ def sample_catmull_rom_5tap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 
 class MipAtlas:
-    """All mip levels of an image flattened into ONE array.
+    """All mip levels of an image stacked into ONE 2-D strip.
 
     TPU-native replacement for per-level texture objects: per-pixel
-    trilinear mip sampling becomes pure index arithmetic + taps into a
-    single flat table (the gather pattern XLA handles at full speed),
-    instead of an unrolled blend over every level.
+    trilinear mip sampling becomes index arithmetic + taps into a single
+    (H', W', C) image, so it rides the fast ``tex[y, x]`` gather pattern
+    (flat ``(N, C)`` row gathers measured 6x slower) and the packed
+    bilinear path above.
 
-    Per-level (offset, h, w) are static aux data taken from the *actual*
-    chain shapes (floor halving can drift from the pow-2 closed form for
-    non-power-of-two images), selected per pixel with a short where-chain.
+    Levels are stacked vertically, each padded by one edge-replicated
+    row/column so a bilinear tap at a level's last row/col never bleeds
+    into the next level. Per-level (row_offset, h, w) are static aux data
+    taken from the *actual* chain shapes (floor halving can drift from
+    the pow-2 closed form for non-power-of-two images), selected per
+    pixel with a short where-chain.
     """
 
     def __init__(self, data: jnp.ndarray, shapes: tuple):
-        self.data = data          # (N, C) flat texels, level-major
-        self.shapes = shapes      # ((off, h, w) per level), static
+        self.data = data          # (H', W', C) strip, levels stacked
+        self.shapes = shapes      # ((row_off, h, w) per level), static
 
     @property
     def levels(self) -> int:
@@ -156,20 +221,30 @@ jax.tree_util.register_pytree_node(
 
 
 def build_mip_atlas(tex: jnp.ndarray) -> MipAtlas:
-    """Build the flat atlas from an (H, W, C) base image."""
+    """Build the stacked strip from an (H, W, C) base image."""
     mips = build_mip_chain(tex)
     c = tex.shape[2] if tex.ndim == 3 else 1
-    flat = jnp.concatenate([m.reshape(-1, c) for m in mips], axis=0)
+    strip_w = tex.shape[1] + 1
+    rows = []
     shapes = []
     off = 0
     for m in mips:
-        shapes.append((off, m.shape[0], m.shape[1]))
-        off += m.shape[0] * m.shape[1]
-    return MipAtlas(flat, tuple(shapes))
+        m3 = m if m.ndim == 3 else m[..., None]
+        h, w = m3.shape[0], m3.shape[1]
+        # edge-replicate one pad row + col (clamp-to-edge inside the level)
+        m3 = jnp.concatenate([m3, m3[:, -1:]], axis=1)
+        m3 = jnp.concatenate([m3, m3[-1:]], axis=0)
+        if m3.shape[1] < strip_w:
+            fill = jnp.zeros((m3.shape[0], strip_w - m3.shape[1], c), m3.dtype)
+            m3 = jnp.concatenate([m3, fill], axis=1)
+        rows.append(m3)
+        shapes.append((off, h, w))
+        off += h + 1
+    return MipAtlas(jnp.concatenate(rows, axis=0), tuple(shapes))
 
 
 def _atlas_level_params(atlas: MipAtlas, l: jnp.ndarray):
-    """(offset, h_l, w_l) for per-pixel float level indices ``l``.
+    """(row_offset, h_l, w_l) for per-pixel float level indices ``l``.
 
     Selected from the static per-level table with a where-chain (one
     select per level — cheap VPU work, no gathers)."""
@@ -185,7 +260,12 @@ def _atlas_level_params(atlas: MipAtlas, l: jnp.ndarray):
 
 
 def _atlas_bilinear(atlas: MipAtlas, uv: jnp.ndarray, l: jnp.ndarray):
-    """Bilinear fetch at integer level ``l`` (float-typed, per pixel)."""
+    """Bilinear fetch at integer level ``l`` (float-typed, per pixel).
+
+    One packed gather per tap for <= 2 channels, two for <= 4: x0/y0 are
+    clamped to the level interior so the +1 neighbors land in the
+    level's edge-replicated pad, reproducing per-level clamp-to-edge.
+    """
     offset, h_l, w_l = _atlas_level_params(atlas, l)
     x = uv[..., 0] * w_l - 0.5
     y = uv[..., 1] * h_l - 0.5
@@ -193,17 +273,31 @@ def _atlas_bilinear(atlas: MipAtlas, uv: jnp.ndarray, l: jnp.ndarray):
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
+    # clamp-to-edge degeneracy at the negative side (see sample_bilinear)
+    fx = jnp.where(x0[..., None] < 0.0, 0.0, fx)
+    fy = jnp.where(y0[..., None] < 0.0, 0.0, fy)
+    x0 = jnp.clip(x0, 0.0, w_l - 1.0)
+    y0 = jnp.clip(y0, 0.0, h_l - 1.0)
+    iy = (offset + y0).astype(jnp.int32)
+    ix = x0.astype(jnp.int32)
 
-    def tap(yy, xx):
-        yy = jnp.clip(yy, 0.0, h_l - 1.0)
-        xx = jnp.clip(xx, 0.0, w_l - 1.0)
-        idx = (offset + yy * w_l + xx).astype(jnp.int32)
-        return atlas.data[idx]
-
-    c00 = tap(y0, x0)
-    c01 = tap(y0, x0 + 1.0)
-    c10 = tap(y0 + 1.0, x0)
-    c11 = tap(y0 + 1.0, x0 + 1.0)
+    c = atlas.data.shape[-1]
+    if c <= 2:
+        q = _gather2d(_pack_quad(atlas.data), iy, ix)
+        c00, c01, c10, c11 = (
+            q[..., :c], q[..., c:2 * c], q[..., 2 * c:3 * c], q[..., 3 * c:]
+        )
+    elif c <= 4:
+        p = _pack_pair(atlas.data)
+        left = _gather2d(p, iy, ix)
+        right = _gather2d(p, iy, ix + 1)
+        c00, c10 = left[..., :c], left[..., c:]
+        c01, c11 = right[..., :c], right[..., c:]
+    else:
+        c00 = _gather2d(atlas.data, iy, ix)
+        c01 = _gather2d(atlas.data, iy, ix + 1)
+        c10 = _gather2d(atlas.data, iy + 1, ix)
+        c11 = _gather2d(atlas.data, iy + 1, ix + 1)
     top = c00 + (c01 - c00) * fx
     bot = c10 + (c11 - c10) * fx
     return top + (bot - top) * fy
