@@ -7,7 +7,14 @@ Poisson taps with normal/depth/roughness/luma edge-stopping weights and
 disocclusion-age blending, run as ``2 * iterations`` ping-pong passes.
 
 The rotated, flatness-scaled tap offsets are per-pixel, so taps are
-bilinear gathers (the one pattern XLA can't turn into shifted adds).
+gathers (the one pattern XLA can't turn into shifted adds). Every
+texture the reference shader taps is NearestFilter-bound
+(`GBufferPass.js:35-36`, `VelocityDepthNormalPass.js:79-80`,
+`TemporalReprojectPass.js:66-67`), so each tap here is ONE nearest
+gather per packed bundle: the edge-stopping inputs (normal, depth,
+roughness) ride one 5-channel bundle and the denoise targets ride one
+<=8-channel bundle — 2 gathers/tap instead of the 8 a naive
+per-texture bilinear formulation costs (see CLAUDE.md rule 2b).
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ import numpy as np
 from ..core.framebuffers import GBuffer
 from ..core.math3d import fwidth, mix, uv_grid
 from ..core.rng import blue_noise_image
-from ..core.sampling import sample_bilinear
+from ..core.sampling import sample_nearest
 
 _SQRT2_4 = 0.25 * float(np.sqrt(2.0))
 # `poisson_denoise.frag:91-92`
@@ -116,6 +123,15 @@ def poisson_denoise_pass(
             "acc": t_rgb,
         })
 
+    # packed per-tap fetch bundles (one gather each; CLAUDE.md rule 2b)
+    aux = jnp.concatenate(
+        [normal, depth[..., None], roughness[..., None]], axis=-1
+    )
+    packed_tex = (
+        jnp.concatenate(textures, axis=-1)
+        if 4 * len(textures) <= 8 else None
+    )
+
     hg, wg = resolution if resolution is not None else (h, w)
     for k in range(8):
         off = POISSON8[k]
@@ -128,9 +144,14 @@ def poisson_denoise_pass(
         oy_g = (-s * (off[0] / wg) + c * (off[1] / hg)) * rscale
         n_uv = uv + jnp.stack([ox_g * wg / w, oy_g * hg / h], axis=-1)
 
-        n_normal = sample_bilinear(normal, n_uv)
-        n_depth = sample_bilinear(depth, n_uv)
-        n_rough = sample_bilinear(roughness, n_uv)
+        n_aux = sample_nearest(aux, n_uv)
+        n_normal = n_aux[..., :3]
+        n_depth = n_aux[..., 3]
+        n_rough = n_aux[..., 4]
+        n_tex = (
+            sample_nearest(packed_tex, n_uv)
+            if packed_tex is not None else None
+        )
 
         normal_diff = 1.0 - jnp.maximum(
             jnp.sum(normal * n_normal, axis=-1), 0.0
@@ -146,7 +167,10 @@ def poisson_denoise_pass(
 
         for i, tex in enumerate(textures):
             wgt = w_basic * (specular_factor if cfg.is_specular[i] else 1.0)
-            t = sample_bilinear(tex, n_uv)
+            t = (
+                n_tex[..., 4 * i: 4 * i + 4]
+                if n_tex is not None else sample_nearest(tex, n_uv)
+            )
             t_rgb = _to_denoise_space(jnp.maximum(t[..., :3], 0.0))
 
             disoccl_w = jnp.maximum(wgt, 1e-20) ** 0.1

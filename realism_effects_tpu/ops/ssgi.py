@@ -30,7 +30,7 @@ from ..core.math3d import (
     uv_grid,
 )
 from ..core.rng import blue_noise_image
-from ..core.sampling import sample_bilinear
+from ..core.sampling import sample_bilinear, sample_nearest
 
 EPS = 1e-5
 
@@ -79,7 +79,9 @@ def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,
         cur_pos = jnp.where(hit[..., None], hit_pos, advanced)
 
         cur_uv = math3d.view_to_screen(cur_pos, cam.projection_matrix)
-        d = sample_bilinear(depth_tex, cur_uv)
+        # NEAREST: the G-buffer depth texture is NearestFilter-bound
+        # (`GBufferPass.js:35-36`; fetch sites `ssgi.frag:458,487`)
+        d = sample_nearest(depth_tex, cur_uv)
         z = _get_view_z(d, cam)
         diff = z - cur_pos[..., 2]
         newly_hit = (~hit) & (diff >= 0.0) & (diff < thickness)
@@ -96,7 +98,7 @@ def _view_space_ray_march(view_pos, l, depth_tex, cam, random_b, thickness,
         def refine_body(_, carry):
             bdir, bpos = carry
             b_uv = math3d.view_to_screen(bpos, cam.projection_matrix)
-            d = sample_bilinear(depth_tex, b_uv)
+            d = sample_nearest(depth_tex, b_uv)
             z = _get_view_z(d, cam)
             diff = z - bpos[..., 2]
             bdir = bdir * 0.5
@@ -291,7 +293,8 @@ def ssgi(
         )
 
         # reproject hit into last frame's accumulated radiance
-        vel_at_hit = sample_bilinear(velocity.velocity, coords)
+        # velocity target is NearestFilter (`VelocityDepthNormalPass.js:79-80`)
+        vel_at_hit = sample_nearest(velocity.velocity, coords)
         reproj_uv = coords - vel_at_hit
         in_bounds = (
             (reproj_uv[..., 0] >= 0.0) & (reproj_uv[..., 0] <= 1.0)

@@ -66,24 +66,31 @@ def _undo_transform_color(c, cfg):
     return jnp.exp(c) - 1.0 if cfg.log_transform else c
 
 
-def _velocity_normal_depth(buf: VelocityBuffer, uv):
-    """Nearest fetch of (velocity, normal, depth) at arbitrary uv
-    (`reproject.frag:97-105`; velocity targets use nearest filtering)."""
-    vel = sample_nearest(buf.velocity, uv)
-    nrm = sample_nearest(buf.normal, uv)
-    depth = sample_nearest(buf.depth, uv)
-    return vel, nrm, depth
+def _pack_normal_depth(buf: VelocityBuffer) -> jnp.ndarray:
+    """(H, W, 4) = (normal.xyz, depth): the reference's velocity target is
+    ONE packed RGBA texture (`VelocityDepthNormalMaterial.js:179-189`), so
+    a disocclusion probe costs one nearest gather, not three
+    (`reproject.frag:97-105`; the target is NearestFilter,
+    `VelocityDepthNormalPass.js:79-80`)."""
+    return jnp.concatenate(
+        [buf.normal, buf.depth[..., None]], axis=-1
+    )
 
 
 def _validate_reprojected_uv(reproj_uv, depth, world_pos, world_normal,
-                             last_velocity: VelocityBuffer, cam, prev_cam, cfg):
-    """Confidence from 3 disocclusion checks (`reproject.frag:130-167`)."""
+                             last_nd_packed: jnp.ndarray, cam, prev_cam, cfg):
+    """Confidence from 3 disocclusion checks (`reproject.frag:130-167`).
+
+    ``last_nd_packed``: :func:`_pack_normal_depth` of the previous frame's
+    velocity buffer (one gather per probe)."""
     in_bounds = (
         (reproj_uv[..., 0] >= 0.0) & (reproj_uv[..., 0] <= 1.0)
         & (reproj_uv[..., 1] >= 0.0) & (reproj_uv[..., 1] <= 1.0)
     )
 
-    _, last_normal, last_depth = _velocity_normal_depth(last_velocity, reproj_uv)
+    last_nd = sample_nearest(last_nd_packed, reproj_uv)
+    last_normal = last_nd[..., :3]
+    last_depth = last_nd[..., 3]
     last_world_pos = screen_to_world(
         reproj_uv, last_depth, prev_cam.camera_matrix_world,
         prev_cam.projection_matrix_inverse,
@@ -253,10 +260,11 @@ def temporal_reproject(
     move_factor = jnp.minimum(jnp.sum(vel * vel, axis=-1) * 10000.0, 1.0)
 
     # --- reprojected uv + confidence per path -----------------------------
+    last_nd_packed = _pack_normal_depth(last_velocity)
     diffuse_uv = uv - vel
     diffuse_conf = _validate_reprojected_uv(
         diffuse_uv, depth, world_pos, world_normal,
-        last_velocity, cam, prev_cam, cfg,
+        last_nd_packed, cam, prev_cam, cfg,
     )
 
     any_specular = any(cfg.reproject_specular)
@@ -266,7 +274,7 @@ def temporal_reproject(
         )
         spec_conf = _validate_reprojected_uv(
             hit_uv, depth, world_pos, world_normal,
-            last_velocity, cam, prev_cam, cfg,
+            last_nd_packed, cam, prev_cam, cfg,
         )
         specular_uv = jnp.where(hit_valid[..., None], hit_uv, diffuse_uv)
         specular_conf = jnp.where(hit_valid, spec_conf, diffuse_conf)

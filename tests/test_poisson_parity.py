@@ -3,7 +3,9 @@
 Line-by-line port of
 `/root/reference/src/denoise/shader/poisson_denoise.frag` (GBUFFER_TEXTURE
 path) against ``ops.poisson_denoise.poisson_denoise_pass`` on shared
-random inputs and identical blue noise. Covers: the luminance^0.125
+random inputs and identical blue noise. Taps are NEAREST fetches: every
+texture the reference shader samples is NearestFilter-bound
+(`GBufferPass.js:35-36`, `TemporalReprojectPass.js:66-67`). Covers: the luminance^0.125
 edge-stopper, disocclusion-age weighting, the *1.0003 brighten hack, the
 column-major uv-space tap rotation, radius scaling by normal flatness,
 specular glossiness gating, and the background passthrough.
@@ -18,7 +20,7 @@ from realism_effects_tpu.ops.poisson_denoise import (
     POISSON8, PoissonDenoiseConfig, poisson_denoise_pass,
 )
 
-from test_ao_parity import np_bilinear
+from test_temporal_parity import np_nearest
 from test_temporal_parity import np_fwidth
 
 H, W = 30, 26
@@ -67,9 +69,9 @@ def np_poisson_pass(textures, gb, noise, cfg):
         oy = (-s * (off[0] / w) + c * (off[1] / h)) * rscale
         n_uv = uv + np.stack([ox, oy], -1)
 
-        n_normal = np_bilinear(normal, n_uv)
-        n_depth = np_bilinear(depth, n_uv)
-        n_rough = np_bilinear(roughness, n_uv)
+        n_normal = np_nearest(normal, n_uv)
+        n_depth = np_nearest(depth, n_uv)
+        n_rough = np_nearest(roughness, n_uv)
         normal_diff = 1.0 - np.maximum(np.sum(normal * n_normal, -1), 0.0)
         depth_diff = 10000.0 * np.abs(depth - n_depth)
         rough_diff = np.abs(roughness - n_rough)
@@ -80,7 +82,7 @@ def np_poisson_pass(textures, gb, noise, cfg):
 
         for i, tex in enumerate(textures):
             wgt = w_basic * (specular_factor if cfg.is_specular[i] else 1.0)
-            t_rgb = tr(np.maximum(np_bilinear(tex, n_uv)[..., :3], 0.0))
+            t_rgb = tr(np.maximum(np_nearest(tex, n_uv)[..., :3], 0.0))
             disoccl_w = np.maximum(wgt, 1e-20) ** 0.1
             luma_diff = np.minimum(
                 np.abs(inputs[i]["lum"] - np_luminance8(t_rgb)), 0.5)

@@ -27,6 +27,7 @@ from realism_effects_tpu.scene.rasterizer import rasterize_gbuffer
 from realism_effects_tpu.scene.scene import Scene
 
 from test_ao_parity import np_bilinear
+from test_temporal_parity import np_nearest
 from test_kernel_parity import np_onb, np_sample_ggx_vndf
 from test_brdf_parity import (
     np_d_gtr, np_disney_diffuse, np_disney_specular, np_equirect_dir_to_uv,
@@ -204,7 +205,7 @@ def np_ssgi(gb, vel, accumulated, direct, envd, cam, noise, cfg,
             advanced = hit_pos + step_dir * cs[..., None]
             pos = np.where(hit[..., None], hit_pos, advanced)
             uv_i = np_view_to_screen(pos, P)
-            d = np_bilinear(depth, uv_i)
+            d = np_nearest(depth, uv_i)
             z = (near * far) / ((far - near) * d - far)
             diff = z - pos[..., 2]
             newly = (~hit) & (diff >= 0.0) & (diff < thickness)
@@ -216,7 +217,7 @@ def np_ssgi(gb, vel, accumulated, direct, envd, cam, noise, cfg,
             bpos = hit_pos - bdir
             for _ in range(cfg.refine_steps):
                 uv_i = np_view_to_screen(bpos, P)
-                d = np_bilinear(depth, uv_i)
+                d = np_nearest(depth, uv_i)
                 z = (near * far) / ((far - near) * d - far)
                 diff = z - bpos[..., 2]
                 bdir = bdir * 0.5
@@ -255,7 +256,7 @@ def np_ssgi(gb, vel, accumulated, direct, envd, cam, noise, cfg,
         coords, hit_pos, missed = ray_march(l)
         env_c = env_color_for(l, is_diffuse_mask)
 
-        vel_at = np_bilinear(vel, coords)
+        vel_at = np_nearest(vel, coords)
         ruv = coords - vel_at
         in_b = ((ruv[..., 0] >= 0) & (ruv[..., 0] <= 1)
                 & (ruv[..., 1] >= 0) & (ruv[..., 1] <= 1))
