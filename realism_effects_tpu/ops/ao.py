@@ -18,7 +18,7 @@ from ..core import math3d
 from ..core.brdf import cosine_sample_hemisphere
 from ..core.math3d import screen_to_world, smoothstep, uv_grid
 from ..core.rng import blue_noise_image, vogel_disk
-from ..core.sampling import sample_bilinear, texel_fetch
+from ..core.sampling import sample_nearest
 
 
 # the reference's literal 16-point sample table (`gtao.frag:69-75`) — a
@@ -102,17 +102,38 @@ def depth_world_normals(depth: jnp.ndarray, cam) -> jnp.ndarray:
     return math3d.normalize(jnp.cross(dpdx, dpdy))
 
 
-def _depth_world_normals_at(depth: jnp.ndarray, uv: jnp.ndarray, cam) -> jnp.ndarray:
-    """Depth-derived normals at arbitrary uv (gather version, used by GTAO
-    per-sample normal fetch, `gtao.frag:110`)."""
+def _pack_depth_stencil(depth: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 9) = the 9-tap normal-reconstruction depth stencil
+    [c0, l1, l2, r1, r2, b1, b2, t1, t2] as channels, built once with
+    static edge-clamped shifts. One nearest gather of this plane hands a
+    GTAO sample its depth *and* every stencil value its normal needs —
+    1 gather/tap instead of the 10 a per-texel formulation costs
+    (CLAUDE.md rule 2b). Channel values are bit-identical to clamped
+    ``texelFetch`` at the shifted coordinate."""
     h, w = depth.shape
-    px = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
-    py = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    pad = jnp.pad(depth, 2, mode="edge")
+    sh = lambda dy, dx: pad[2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
+    return jnp.stack(
+        [depth, sh(0, -1), sh(0, -2), sh(0, 1), sh(0, 2),
+         sh(-1, 0), sh(-2, 0), sh(1, 0), sh(2, 0)],
+        axis=-1,
+    )
 
-    f = lambda dx, dy: texel_fetch(depth, px + dx, py + dy)
-    c0 = f(0, 0)
-    l1, l2, r1, r2 = f(-1, 0), f(-2, 0), f(1, 0), f(2, 0)
-    b1, b2, t1, t2 = f(0, -1), f(0, -2), f(0, 1), f(0, 2)
+
+def _depth_world_normals_at(stencil9: jnp.ndarray, uv: jnp.ndarray, cam):
+    """Depth-derived normals at arbitrary uv (gather version, used by GTAO
+    per-sample normal fetch, `gtao.frag:110`). Depth fetches are NEAREST
+    (three.js ``DepthTexture`` defaults, the composer depth target bound
+    at `AOEffect.js:44`) but reconstruction uses the continuous ``uv``
+    exactly as `hbao_utils.glsl:46-52` does.
+
+    ``stencil9``: :func:`_pack_depth_stencil` of the depth plane.
+    Returns (normal (..., 3), center depth)."""
+    h, w = stencil9.shape[0], stencil9.shape[1]
+    s = sample_nearest(stencil9, uv)
+    c0 = s[..., 0]
+    l1, l2, r1, r2 = s[..., 1], s[..., 2], s[..., 3], s[..., 4]
+    b1, b2, t1, t2 = s[..., 5], s[..., 6], s[..., 7], s[..., 8]
 
     dl = jnp.abs(2.0 * l1 - l2 - c0)
     dr = jnp.abs(2.0 * r1 - r2 - c0)
@@ -133,7 +154,7 @@ def _depth_world_normals_at(depth: jnp.ndarray, uv: jnp.ndarray, cam) -> jnp.nda
     dpdy = jnp.where(
         (db < dt)[..., None], ce - world_pos(b1, uv - pyv), world_pos(t1, uv + pyv) - ce
     )
-    return math3d.normalize(jnp.cross(dpdx, dpdy))
+    return math3d.normalize(jnp.cross(dpdx, dpdy)), c0
 
 
 def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
@@ -173,7 +194,9 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
         clip, cw = math3d.transform_point_nodiv(proj_view, sample_pos)
         safe_w = jnp.where(jnp.abs(cw) > 1e-8, cw, 1e-8)
         sample_uv = clip[..., :2] / safe_w[..., None] * 0.5 + 0.5
-        sample_depth = sample_bilinear(depth, sample_uv)
+        # NEAREST: composer depth texture (`hbao.frag:107` fetch;
+        # three.js DepthTexture defaults, bound at `AOEffect.js:44`)
+        sample_depth = sample_nearest(depth, sample_uv)
 
         delta_depth = depth - sample_depth
         d = jnp.linalg.norm(sample_pos - cam_pos, axis=-1)
@@ -220,6 +243,7 @@ def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
     )
     radius = 0.25 * (cfg.distance / 2.0)
     proj_view = cam.projection_view_matrix
+    stencil9 = _pack_depth_stencil(depth)
 
     ao = jnp.zeros((h, w), jnp.float32)
     base_index = frame if cfg.animated_noise else 0
@@ -235,8 +259,11 @@ def gtao(depth: jnp.ndarray, cam, frame, cfg: AOConfig):
         safe_w = jnp.where(jnp.abs(cw) > 1e-8, cw, 1e-8)
         sample_uv = clip[..., :2] / safe_w[..., None] * 0.5 + 0.5
 
-        sample_depth = sample_bilinear(depth, sample_uv)
-        sample_normal = _depth_world_normals_at(depth, sample_uv, cam)
+        # one 9-channel nearest gather: sample depth + its normal stencil
+        # (`gtao.frag:109-110`; depth texture is NearestFilter)
+        sample_normal, sample_depth = _depth_world_normals_at(
+            stencil9, sample_uv, cam
+        )
         sample_view_z = jnp.abs(
             math3d.depth_to_view_z(sample_depth, cam)
         )

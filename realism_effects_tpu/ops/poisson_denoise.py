@@ -26,9 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.framebuffers import GBuffer
-from ..core.math3d import fwidth, mix, uv_grid
+from ..core.math3d import fwidth, mix
 from ..core.rng import blue_noise_image
-from ..core.sampling import sample_nearest
 
 _SQRT2_4 = 0.25 * float(np.sqrt(2.0))
 # `poisson_denoise.frag:91-92`
@@ -90,7 +89,6 @@ def poisson_denoise_pass(
     so the pixel-space pattern depends on the full-image aspect); sharded
     blocks pass the unsharded size, default is this block's own shape."""
     h, w = gbuffer.depth.shape
-    uv = uv_grid(h, w)
     depth = gbuffer.depth
     normal = gbuffer.normal
     roughness = gbuffer.roughness
@@ -133,25 +131,45 @@ def poisson_denoise_pass(
     )
 
     hg, wg = resolution if resolution is not None else (h, w)
+    # GLOBAL pixel-center uv of this block's rows: tap positions, the
+    # nearest-texel snap, and the border clamp are all evaluated in
+    # global image coordinates, so a sharded block makes bit-identical
+    # snap decisions to the single-chip program (integer row shift is
+    # exact; all f32 ops below are the same ops on the same values).
+    row0f = jnp.asarray(row_offset, jnp.float32)
+    row0i = jnp.asarray(row_offset, jnp.int32)
+    ug = (jnp.arange(w, dtype=jnp.float32) + 0.5) / wg
+    vg = (jnp.arange(h, dtype=jnp.float32) + row0f + 0.5) / hg
+    uug, vvg = jnp.meshgrid(ug, vg)
+    uv_g = jnp.stack([uug, vvg], axis=-1)
+
+    def fetch(tex3, n_uv):
+        """One nearest gather at global uv ``n_uv``, clamped to the
+        global image, addressed into this (possibly halo-extended)
+        block (`poisson_denoise.frag:96`; all inputs NearestFilter)."""
+        ix = jnp.clip(
+            jnp.floor(n_uv[..., 0] * wg).astype(jnp.int32), 0, wg - 1
+        )
+        iy = jnp.clip(
+            jnp.floor(n_uv[..., 1] * hg).astype(jnp.int32), 0, hg - 1
+        ) - row0i
+        return tex3[jnp.clip(iy, 0, h - 1), ix]
+
     for k in range(8):
         off = POISSON8[k]
         # neighborUv = vUv + rm * (offset / resolution) with
         # rm = r * flatness * mat2(c, -s, s, c)  (`poisson_denoise.frag:185-190`);
         # GLSL mat2 is column-major, so rm @ v = (c*vx + s*vy, -s*vx + c*vy),
-        # applied to the aspect-scaled *global* uv offset, then converted
-        # into this block's uv (identity when the block is the full image)
+        # applied to the aspect-scaled *global* uv offset
         ox_g = (c * (off[0] / wg) + s * (off[1] / hg)) * rscale
         oy_g = (-s * (off[0] / wg) + c * (off[1] / hg)) * rscale
-        n_uv = uv + jnp.stack([ox_g * wg / w, oy_g * hg / h], axis=-1)
+        n_uv = uv_g + jnp.stack([ox_g, oy_g], axis=-1)
 
-        n_aux = sample_nearest(aux, n_uv)
+        n_aux = fetch(aux, n_uv)
         n_normal = n_aux[..., :3]
         n_depth = n_aux[..., 3]
         n_rough = n_aux[..., 4]
-        n_tex = (
-            sample_nearest(packed_tex, n_uv)
-            if packed_tex is not None else None
-        )
+        n_tex = fetch(packed_tex, n_uv) if packed_tex is not None else None
 
         normal_diff = 1.0 - jnp.maximum(
             jnp.sum(normal * n_normal, axis=-1), 0.0
@@ -169,7 +187,7 @@ def poisson_denoise_pass(
             wgt = w_basic * (specular_factor if cfg.is_specular[i] else 1.0)
             t = (
                 n_tex[..., 4 * i: 4 * i + 4]
-                if n_tex is not None else sample_nearest(tex, n_uv)
+                if n_tex is not None else fetch(tex, n_uv)
             )
             t_rgb = _to_denoise_space(jnp.maximum(t[..., :3], 0.0))
 

@@ -6,7 +6,8 @@ into plain numpy, evaluated on a real 32x32 rasterized depth buffer and
 compared against ``ops.ao.hbao`` / ``ops.ao.gtao`` with identical
 blue-noise inputs. Differences from undefined GLSL behavior are pinned to
 the implementation's documented choices: clamp-to-edge for out-of-range
-fetches, bilinear depth filtering, ao=1 where the shader discards
+fetches, NEAREST depth filtering (three.js DepthTexture default on the
+composer depth target, `AOEffect.js:44`), ao=1 where the shader discards
 (background).
 """
 
@@ -73,16 +74,34 @@ def np_bilinear(tex, uv):
     return top + (bot - top) * fy
 
 
+def np_nearest(tex, uv):
+    """textureLod on a NEAREST-filtered clamp-to-edge texture (the
+    composer depth texture bound at `AOEffect.js:44` is a three.js
+    DepthTexture, nearest by default)."""
+    h, w = tex.shape[:2]
+    uv = np.nan_to_num(uv, nan=0.0, posinf=1.0, neginf=0.0)
+    ix = np.clip(np.floor(uv[..., 0] * w).astype(int), 0, w - 1)
+    iy = np.clip(np.floor(uv[..., 1] * h).astype(int), 0, h - 1)
+    return tex[iy, ix]
+
+
 def np_texel_fetch(tex, ix, iy):
     h, w = tex.shape[:2]
     return tex[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)]
 
 
 def np_compute_world_normal(depth, uv, proj_inv, cam_world):
-    """hbao_utils.glsl:46-68 (computeWorldNormal), clamp-to-edge."""
+    """gtao.frag:34-55 (computeWorldNormal), clamp-to-edge.
+
+    ``texelFetch`` at an out-of-range ``ivec2(uv * size)`` is undefined
+    GLSL behavior; the pinned choice (matching ops.ao) is to clamp the
+    snapped texel into range FIRST, then apply clamped stencil offsets —
+    which also agrees with the reference's trunc-toward-zero ``ivec2``
+    cast for slightly-negative uv."""
     h, w = depth.shape
-    px = np.floor(uv[..., 0] * w).astype(int)
-    py = np.floor(uv[..., 1] * h).astype(int)
+    uv = np.nan_to_num(uv, nan=0.0, posinf=1.0, neginf=0.0)
+    px = np.clip(np.floor(uv[..., 0] * w).astype(int), 0, w - 1)
+    py = np.clip(np.floor(uv[..., 1] * h).astype(int), 0, h - 1)
     f = lambda dx, dy: np_texel_fetch(depth, px + dx, py + dy)
     c0 = f(0, 0)
     l1, l2, r1, r2 = f(-1, 0), f(-2, 0), f(1, 0), f(2, 0)
@@ -126,7 +145,7 @@ def np_hbao(depth, world_normal, cam, noises, cfg):
         homo = np.concatenate([sample_pos, np.ones_like(sample_pos[..., :1])], -1)
         clip = homo @ pv.T
         sample_uv = clip[..., :2] / clip[..., 3:4] * 0.5 + 0.5
-        sample_depth = np_bilinear(depth, sample_uv)
+        sample_depth = np_nearest(depth, sample_uv)
 
         delta = depth - sample_depth
         d = np.linalg.norm(sample_pos - cam_pos, axis=-1)
@@ -177,7 +196,7 @@ def np_gtao(depth, cam, noises, n_samples=16, radius=0.25):
         clip = homo @ pv.T
         sample_uv = clip[..., :2] / clip[..., 3:4] * 0.5 + 0.5
 
-        sample_depth = np_bilinear(depth, sample_uv)
+        sample_depth = np_nearest(depth, sample_uv)
         sample_normal = np_compute_world_normal(
             depth, sample_uv, proj_inv, cam_world)
         svz = view_z(sample_depth)

@@ -288,9 +288,11 @@ class TestCollectiveAudit:
         optimized HLO is one of the documented replicated-read planes
         (history/velocity/normal/depth/scene-color feeding the
         gather-unbounded reprojection + AO sample taps). Budget pinned
-        at the measured 8 definitions (+2 slack for XLA version drift) —
-        a regression that starts all-gathering bounded-stencil stages
-        blows the budget."""
+        at the measured 12 definitions (+2 slack for XLA version drift;
+        12 = the packed nearest-fetch bundles after the rule-2b gather
+        packing, two of them duplicated because XLA does not CSE
+        identical collectives) — a regression that starts all-gathering
+        bounded-stencil stages blows the budget."""
         import jax.numpy as jnp
         from realism_effects_tpu import (
             EffectComposer, HBAOEffect, Material, PerspectiveCamera,
@@ -325,7 +327,7 @@ class TestCollectiveAudit:
         fn = composer._build_frame_fn(mesh=mesh)
         txt = fn.lower(*args).compile().as_text()
         defs = _collective_defs(txt)
-        assert 0 < defs["all-gather"] <= 10, defs
+        assert 0 < defs["all-gather"] <= 14, defs
         # halo-style movement is present too (GSPMD compiles the bounded
         # shifts to collective-permutes)
         assert defs["collective-permute"] > 0, defs
