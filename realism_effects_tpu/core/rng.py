@@ -145,13 +145,22 @@ def blue_noise_image(height: int, width: int, index,
     )
     s = pcg4d(seed)
     shift = s[..., :2] % np.uint32(0x0FFFFFFF)
-    px = jax_broadcast_iota(height, width).astype(jnp.int32)
-    gx = px[..., 0] + jnp.asarray(col_offset, jnp.int32)
-    gy = px[..., 1] + jnp.asarray(row_offset, jnp.int32)
-    # signed mod (non-negative result) so negative halo rows wrap correctly
-    ix = jnp.mod(gx + shift[0].astype(jnp.int32), size)
-    iy = jnp.mod(gy + shift[1].astype(jnp.int32), size)
-    return tile[iy, ix]
+    # The fetch pattern tile[(y + sy) % size, (x + sx) % size] is a
+    # toroidal ROLL of the tile followed by tiling — pure shifts/
+    # broadcasts instead of a full-res 2M-index gather (each of which
+    # costs ~15 ms on the TPU; this function is called ~15x per frame
+    # across the kernels). Values are bit-identical to the gather
+    # formulation, including negative sharded row offsets (signed mod).
+    sx = jnp.mod(
+        shift[0].astype(jnp.int32) + jnp.asarray(col_offset, jnp.int32), size
+    )
+    sy = jnp.mod(
+        shift[1].astype(jnp.int32) + jnp.asarray(row_offset, jnp.int32), size
+    )
+    rolled = jnp.roll(tile, shift=(-sy, -sx), axis=(0, 1))
+    reps_y = -(-height // size)
+    reps_x = -(-width // size)
+    return jnp.tile(rolled, (reps_y, reps_x, 1))[:height, :width]
 
 
 def jax_broadcast_iota(height: int, width: int) -> jnp.ndarray:

@@ -81,7 +81,8 @@ def texel_fetch(tex: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarr
     return _gather2d(tex, iy, ix)
 
 
-def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray,
+                    half: bool = False) -> jnp.ndarray:
     """Bilinear fetch with clamp-to-edge, matching GL LinearFilter.
 
     One gather per tap for <= 2 channels (quad pack), two for <= 4
@@ -89,6 +90,12 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     (the negative-side clamp degeneracy is reproduced by zeroing the
     lerp fraction where ``floor`` landed at -1, which the four-fetch
     formula makes exact by ``c00 == c01``).
+
+    ``half=True`` declares the texture a HalfFloat render target (the
+    reference demo's postprocessing framebuffers and the temporal
+    history are rgba16f): texels are quantized to f16 — exactly the
+    storage the reference samples — which lets a 3-4 channel quad pack
+    ride ONE 32-byte gather per tap instead of two.
     """
     h, w = tex.shape[0], tex.shape[1]
     x = uv[..., 0] * w - 0.5
@@ -108,8 +115,9 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     base = tex[..., None] if squeeze else tex
     c = base.shape[2]
 
-    if c <= 2:
-        q = _gather2d(_pack_quad(base), y0, x0)
+    if c <= 2 or (half and c <= 4):
+        src = base.astype(jnp.float16) if half else base
+        q = _gather2d(_pack_quad(src), y0, x0).astype(jnp.float32)
         c00, c01, c10, c11 = (
             q[..., :c], q[..., c:2 * c], q[..., 2 * c:3 * c], q[..., 3 * c:]
         )
@@ -133,11 +141,14 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return out[..., 0] if squeeze else out
 
 
-def sample_catmull_rom_5tap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+def sample_catmull_rom_5tap(tex: jnp.ndarray, uv: jnp.ndarray,
+                            half: bool = False) -> jnp.ndarray:
     """5-tap bicubic Catmull-Rom (`reproject.frag:212-255`).
 
     Used to sample the temporal history with less blur than bilinear.
-    Result is clamped to >= 0 like the reference.
+    Result is clamped to >= 0 like the reference. ``half=True``: the
+    history texture is an rgba16f LinearFilter framebuffer
+    (`TemporalReprojectPass.js:141-144`) — one packed gather per tap.
     """
     h, w = tex.shape[0], tex.shape[1]
     size = jnp.array([w, h], jnp.float32)
@@ -169,7 +180,7 @@ def sample_catmull_rom_5tap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     sw4 = weight1[..., 0] * weight2[..., 1]
 
     def tap(ux, uy):
-        return sample_bilinear(tex, jnp.stack([ux, uy], axis=-1))
+        return sample_bilinear(tex, jnp.stack([ux, uy], axis=-1), half=half)
 
     expand = (lambda a: a[..., None]) if tex.ndim == 3 else (lambda a: a)
     acc = tap(sample1[..., 0], sample0[..., 1]) * expand(sw0)

@@ -36,7 +36,9 @@ def motion_blur(color: jnp.ndarray, velocity: jnp.ndarray, frame,
     for i in range(samples + 1):
         t = i / samples_f
         tap_uv = mix(start_uv, end_uv, t)
-        acc = acc + sample_bilinear(color, tap_uv)
+        # inputTexture is the composer's HalfFloat framebuffer
+        # (`example/main.js` frameBufferType): half quad-packed taps
+        acc = acc + sample_bilinear(color, tap_uv, half=True)
     blurred = acc / (samples_f + 2.0)
 
     return jnp.where(did_move[..., None], blurred, color)

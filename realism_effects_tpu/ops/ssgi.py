@@ -300,7 +300,9 @@ def ssgi(
             (reproj_uv[..., 0] >= 0.0) & (reproj_uv[..., 0] <= 1.0)
             & (reproj_uv[..., 1] >= 0.0) & (reproj_uv[..., 1] <= 1.0)
         )
-        reproj_gi = sample_bilinear(accumulated[..., :3], reproj_uv)
+        # accumulated radiance is an rgba16f LinearFilter target
+        # (`TemporalReprojectPass.js:141-144`): half quad-packed tap
+        reproj_gi = sample_bilinear(accumulated[..., :3], reproj_uv, half=True)
         sat = _saturation(diffuse)
         desat = (1.0 - roughness) * sat * 0.4
         reproj_gi = mix(

@@ -292,7 +292,9 @@ def temporal_reproject(
         inp_rgb = _transform_color(jnp.maximum(inp[..., :3], 0.0), cfg)
 
         # --- reproject (`temporal_reproject.frag:83-122`) ------------------
-        acc = sample_catmull_rom_5tap(history[i], reproj_uv)
+        # history = the rgba16f LinearFilter framebuffer copy
+        # (`TemporalReprojectPass.js:141-144`): half quad-packed taps
+        acc = sample_catmull_rom_5tap(history[i], reproj_uv, half=True)
         acc_rgb = _transform_color(acc[..., :3], cfg)
         acc_rgb_raw = acc_rgb  # pre-clamp value used when nothing sampled
         acc_a = acc[..., 3] + 1.0

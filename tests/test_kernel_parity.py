@@ -60,7 +60,10 @@ class TestMotionBlurParity:
         acc = color.copy()
         for i in range(samples + 1):
             t = i / float(samples)
-            acc = acc + np_bilinear(color, start_uv + (end_uv - start_uv) * t)
+            # inputTexture is a HalfFloat framebuffer: taps read f16 texels
+            acc = acc + np_bilinear(
+                color.astype(np.float16).astype(np.float64),
+                start_uv + (end_uv - start_uv) * t)
         expected = np.where(
             did_move[..., None], acc / (samples + 2.0), color)
 
@@ -68,7 +71,10 @@ class TestMotionBlurParity:
             jnp.asarray(color, jnp.float32), jnp.asarray(velocity, jnp.float32),
             jnp.int32(frame), intensity=intensity, jitter=jitter,
             delta_time=dt, samples=samples)
-        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5)
+        # atol = one f16 ulp: the input is rgba16f storage, and f32-vs-f64
+        # tap positions at texel boundaries can flip a corner whose
+        # quantized value differs by up to 2^-11 relative
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-3)
 
 
 # --- K7 transliteration helpers ------------------------------------------

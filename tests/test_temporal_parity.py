@@ -207,7 +207,9 @@ def np_temporal_reproject(inputs, history, vel_buf, last_vel_buf, cam,
         sampled = inp[..., 0] >= 0.0
         inp_rgb = tr(np.maximum(inp[..., :3], 0.0))
 
-        acc = np_catmull_rom_5tap(history[i], reproj_uv)
+        # history is rgba16f storage (`TemporalReprojectPass.js:141-144`)
+        acc = np_catmull_rom_5tap(
+            history[i].astype(np.float16).astype(np.float64), reproj_uv)
         acc_rgb = tr(acc[..., :3])
         acc_rgb_pre = acc_rgb.copy()
         acc_a = acc[..., 3] + 1.0
