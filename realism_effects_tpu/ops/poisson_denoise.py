@@ -10,11 +10,16 @@ The rotated, flatness-scaled tap offsets are per-pixel, so taps are
 gathers (the one pattern XLA can't turn into shifted adds). Every
 texture the reference shader taps is NearestFilter-bound
 (`GBufferPass.js:35-36`, `VelocityDepthNormalPass.js:79-80`,
-`TemporalReprojectPass.js:66-67`), so each tap here is ONE nearest
-gather per packed bundle: the edge-stopping inputs (normal, depth,
-roughness) ride one 5-channel bundle and the denoise targets ride one
-<=8-channel bundle — 2 gathers/tap instead of the 8 a naive
+`TemporalReprojectPass.js:66-67`), and the reference's own storage is
+PACKED: normals ride octahedral-f16 in one float channel
+(`gbuffer_packing.glsl:61`, read back via ``unpackNormal`` at
+`poisson_denoise.frag:59,85`) and the denoise targets are rgba16f.
+Reproducing that storage lets every tap fetch EVERYTHING in ONE
+<= 8-slot gather: [depth f32 | oct-normal half2x16 | roughness f32 |
+2 x half2x16 per texture] — 1 gather/tap instead of the 8 a naive
 per-texture bilinear formulation costs (see CLAUDE.md rule 2b).
+Deviation: roughness stays f32 (the reference packs it to f16 with
+metalness; a full slot is free here, strictly more precise).
 """
 
 from __future__ import annotations
@@ -27,6 +32,8 @@ import numpy as np
 
 from ..core.framebuffers import GBuffer
 from ..core.math3d import fwidth, mix
+from ..core.packing import pack_half2x16, pack_normal, unpack_half2x16, \
+    unpack_normal
 from ..core.rng import blue_noise_image
 
 _SQRT2_4 = 0.25 * float(np.sqrt(2.0))
@@ -90,9 +97,15 @@ def poisson_denoise_pass(
     blocks pass the unsharded size, default is this block's own shape."""
     h, w = gbuffer.depth.shape
     depth = gbuffer.depth
-    normal = gbuffer.normal
+    # the reference reads normals through the packed G-buffer's
+    # octahedral half2x16 channel (`poisson_denoise.frag:59,85`) — the
+    # center normal is quantized exactly like the tap normals
+    normal = unpack_normal(pack_normal(gbuffer.normal))
     roughness = gbuffer.roughness
     is_background = depth >= 1.0
+    # denoise targets are rgba16f render targets: centers and taps both
+    # read half-quantized texels
+    textures = [t.astype(jnp.float16).astype(jnp.float32) for t in textures]
 
     glossiness = jnp.maximum(0.0, 4.0 * (1.0 - roughness / 0.25))
     specular_factor = jnp.exp(-glossiness * cfg.specular_phi)
@@ -121,13 +134,19 @@ def poisson_denoise_pass(
             "acc": t_rgb,
         })
 
-    # packed per-tap fetch bundles (one gather each; CLAUDE.md rule 2b)
-    aux = jnp.concatenate(
-        [normal, depth[..., None], roughness[..., None]], axis=-1
-    )
-    packed_tex = (
-        jnp.concatenate(textures, axis=-1)
-        if 4 * len(textures) <= 8 else None
+    # ONE packed fetch bundle per tap (CLAUDE.md rule 2b): f32 slots
+    # [depth, oct-normal half2x16, roughness, (rg half2x16, ba half2x16)
+    # per texture]
+    n_tex = len(textures)
+    slots = [depth, pack_normal(gbuffer.normal), roughness]
+    for t in textures:
+        slots.append(pack_half2x16(t[..., 0:2]))
+        slots.append(pack_half2x16(t[..., 2:4]))
+    bundle = jnp.stack(slots, axis=-1) if 3 + 2 * n_tex <= 8 else None
+    aux = (
+        jnp.concatenate(
+            [normal, depth[..., None], roughness[..., None]], axis=-1
+        ) if bundle is None else None
     )
 
     hg, wg = resolution if resolution is not None else (h, w)
@@ -165,11 +184,23 @@ def poisson_denoise_pass(
         oy_g = (-s * (off[0] / wg) + c * (off[1] / hg)) * rscale
         n_uv = uv_g + jnp.stack([ox_g, oy_g], axis=-1)
 
-        n_aux = fetch(aux, n_uv)
-        n_normal = n_aux[..., :3]
-        n_depth = n_aux[..., 3]
-        n_rough = n_aux[..., 4]
-        n_tex = fetch(packed_tex, n_uv) if packed_tex is not None else None
+        if bundle is not None:
+            b = fetch(bundle, n_uv)
+            n_depth = b[..., 0]
+            n_normal = unpack_normal(b[..., 1])
+            n_rough = b[..., 2]
+            n_texs = [
+                jnp.concatenate(
+                    [unpack_half2x16(b[..., 3 + 2 * i]),
+                     unpack_half2x16(b[..., 4 + 2 * i])], axis=-1
+                ) for i in range(n_tex)
+            ]
+        else:
+            n_aux = fetch(aux, n_uv)
+            n_normal = n_aux[..., :3]
+            n_depth = n_aux[..., 3]
+            n_rough = n_aux[..., 4]
+            n_texs = None
 
         normal_diff = 1.0 - jnp.maximum(
             jnp.sum(normal * n_normal, axis=-1), 0.0
@@ -185,10 +216,7 @@ def poisson_denoise_pass(
 
         for i, tex in enumerate(textures):
             wgt = w_basic * (specular_factor if cfg.is_specular[i] else 1.0)
-            t = (
-                n_tex[..., 4 * i: 4 * i + 4]
-                if n_tex is not None else fetch(tex, n_uv)
-            )
+            t = n_texs[i] if n_texs is not None else fetch(tex, n_uv)
             t_rgb = _to_denoise_space(jnp.maximum(t[..., :3], 0.0))
 
             disoccl_w = jnp.maximum(wgt, 1e-20) ** 0.1

@@ -31,14 +31,35 @@ def np_luminance8(rgb):
     return np.maximum(base, 0.0) ** 0.125
 
 
+def np_oct16_quantize(n):
+    """Octahedral-f16 normal round trip (the packed G-buffer storage the
+    reference's poisson reads via unpackNormal, `gbuffer_packing.glsl:61`,
+    `poisson_denoise.frag:59,85`)."""
+    an = np.abs(n)
+    nn = n / (an[..., 0:1] + an[..., 1:2] + an[..., 2:3])
+    xy = nn[..., :2]
+    wrapped = (1.0 - np.abs(xy[..., ::-1])) * np.where(xy >= 0.0, 1.0, -1.0)
+    xy = np.where(nn[..., 2:3] > 0.0, xy, wrapped)
+    f = (xy * 0.5 + 0.5).astype(np.float32).astype(np.float16)
+    f = f.astype(np.float64) * 2.0 - 1.0
+    z = 1.0 - np.abs(f[..., 0]) - np.abs(f[..., 1])
+    t = np.maximum(-z, 0.0)
+    x = f[..., 0] + np.where(f[..., 0] >= 0.0, -t, t)
+    y = f[..., 1] + np.where(f[..., 1] >= 0.0, -t, t)
+    out = np.stack([x, y, z], -1)
+    return out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-20)
+
+
 def np_poisson_pass(textures, gb, noise, cfg):
     """poisson_denoise.frag main (GBUFFER_TEXTURE), one pass."""
     h, w = gb["depth"].shape
     ys, xs = np.mgrid[0:h, 0:w]
     uv = np.stack([(xs + 0.5) / w, (ys + 0.5) / h], -1)
     depth = gb["depth"]
-    normal = gb["normal"]
+    normal = np_oct16_quantize(gb["normal"])
     roughness = gb["roughness"]
+    # rgba16f denoise targets: half-quantized texels
+    textures = [t.astype(np.float16).astype(np.float64) for t in textures]
     tr = lambda c: np.log(c + 1.0)
     untr = lambda c: np.exp(c) - 1.0
 
