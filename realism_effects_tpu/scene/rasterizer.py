@@ -285,21 +285,27 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
         pixel's winning texel — (H, W) gathers only, the same pattern
         as the G-buffer's texture sampling (`GBufferMaterial.js:57-79`,
         nearest texel, *green* channel per :60)."""
-        vidx, wts, valid = _pixel_weights(clip, faces, win_ids,
-                                          height, width)
-        uv = _interp(uvs, vidx, wts)
-        safe = jnp.maximum(win_ids, 0)
-        page = pages[safe]
+        rec = _fetch_face_table(_pack_face_table([
+            _face_edge_coeffs(clip, faces, height, width),      # 0..8
+            uvs[faces].reshape(-1, 6),                          # 9..14
+            pages.astype(jnp.float32),                          # 15
+            tri_alpha,                                          # 16
+        ]), win_ids)
+        wts = _weights_from_coeffs(rec[..., 0:9], height, width)
+        uvv = rec[..., 9:15]
+        uv = (uvv[..., 0:2] * wts[..., 0:1] + uvv[..., 2:4] * wts[..., 1:2]
+              + uvv[..., 4:6] * wts[..., 2:3])
+        page = rec[..., 15].astype(jnp.int32)
         iu = (jnp.mod(uv[..., 0], 1.0) * size).astype(jnp.int32) % size
         iv = (jnp.mod(uv[..., 1], 1.0) * size).astype(jnp.int32) % size
         tex_a = atlas[jnp.maximum(page, 0), iv, iu, 1]
-        a = tri_alpha[safe] * jnp.where(page >= 0, tex_a, 1.0)
+        a = rec[..., 16] * jnp.where(page >= 0, tex_a, 1.0)
         a_step = (a >= 0.5).astype(jnp.float32)
         ramp = 1.0 / (cnmf * 0.1 + 1.0)
         a_soft = a + (a_step - a) * ramp
         keep = jnp.where(cnmf < 0.5, a >= 0.5,
                          (a >= 0.9999) | (dither < a_soft))
-        return keep | ~valid       # background resolves trivially
+        return keep | (win_ids < 0)  # background resolves trivially
 
     keep = winner_keeps(ids)
     final_ids = jnp.where(keep, ids, -1)
@@ -359,6 +365,71 @@ def _interp(attr: jnp.ndarray, vidx: jnp.ndarray, weights: jnp.ndarray):
     out = attr[vidx[..., 0]] * weights[..., 0:1]
     out = out + attr[vidx[..., 1]] * weights[..., 1:2]
     return out + attr[vidx[..., 2]] * weights[..., 2:3]
+
+
+# --- per-face packed records ------------------------------------------------
+#
+# A full-resolution gather is priced per INDEX (~15 ms per 2M on the TPU,
+# payload free to 32 B), so the per-pixel fetch chain (face -> 3 vertex
+# ids -> hverts x3 -> attribute x3 per attribute -> material row) is the
+# dominant raster cost. All of those quantities are per-FACE constants:
+# building one packed per-face record (cheap — index count = F, not H*W)
+# collapses the chain to ceil(K/8) gathers per pixel. Values are
+# bit-identical: the same f32 ops run on the same inputs, hoisted from
+# per-pixel to per-face.
+
+def _face_edge_coeffs(clip: jnp.ndarray, faces: jnp.ndarray,
+                      height: int, width: int) -> jnp.ndarray:
+    """(F, 9): the scaled edge-function coefficients of `_pixel_weights`
+    evaluated per face (c0 | c1 | c2)."""
+    hverts = _homogeneous_verts(clip, height, width)
+    tri = hverts[faces]                            # (F, 3, 3)
+    h0, h1, h2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    scale = 1.0 / (
+        jnp.abs(h0[..., 2]) + jnp.abs(h1[..., 2]) + jnp.abs(h2[..., 2]) + 1e-6
+    )[..., None]
+    h0 = h0 * scale
+    h1 = h1 * scale
+    h2 = h2 * scale
+    (c0, c1, c2), _ = _edge_coeffs(h0, h1, h2)
+    return jnp.concatenate(
+        [jnp.stack(c, axis=-1) for c in (c0, c1, c2)], axis=-1
+    )
+
+
+def _pack_face_table(cols) -> list:
+    """Pack per-face columns ((F,) or (F, C)) into (F', 128, <=8) chunks
+    riding the fast ``tex[y, x]`` gather pattern (flat (N, C) row gathers
+    measured 6x slower)."""
+    flat = [c[:, None] if c.ndim == 1 else c for c in cols]
+    rec = jnp.concatenate(
+        [c.astype(jnp.float32) for c in flat], axis=-1)
+    f, k = rec.shape
+    rows = -(-f // 128)
+    rec = jnp.pad(rec, ((0, rows * 128 - f), (0, 0)))
+    rec = rec.reshape(rows, 128, k)
+    return [rec[..., i: i + 8] for i in range(0, k, 8)]
+
+
+def _fetch_face_table(chunks, ids: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) face ids -> (H, W, K) packed record (ceil(K/8) gathers)."""
+    safe = jnp.maximum(ids, 0)
+    r, l = safe // 128, safe % 128
+    return jnp.concatenate([c[r, l] for c in chunks], axis=-1)
+
+
+def _weights_from_coeffs(coeffs: jnp.ndarray, height: int, width: int):
+    """Per-pixel perspective-correct weights from the fetched (H, W, 9)
+    edge-coefficient record (same formula as `_pixel_weights`)."""
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    e = jnp.stack(
+        [coeffs[..., 3 * i] * px + coeffs[..., 3 * i + 1] * py
+         + coeffs[..., 3 * i + 2] for i in range(3)],
+        axis=-1,
+    )
+    se = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.where(jnp.abs(se) > 1e-20, se, 1e-20)
 
 
 def _sample_atlas(atlas: jnp.ndarray, page: jnp.ndarray, uv: jnp.ndarray):
@@ -465,25 +536,55 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
     ids, depth01 = _visibility(clip, packed.faces, height, width,
                                tri_alpha, dither, cnmf, alpha_tex,
                                alpha_peels, face_keep=face_keep)
-    vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
-
-    nrm = _interp(world_nrm, vidx, wts)
+    valid = ids >= 0
+    # per-face packed record: ONE fetch chain instead of
+    # face->vertices->attributes->material per pixel (see the
+    # per-face-records comment block above; values bit-identical)
+    textured = packed.map_atlas.shape[0] > 0
+    face_mesh = packed.vert_mesh_id[packed.faces[:, 0]]
+    n_mat = packed.materials.shape[1]
+    cols = [
+        _face_edge_coeffs(clip, packed.faces, height, width),   # 0..8
+        world_nrm[packed.faces].reshape(-1, 9),                 # 9..17
+        face_mesh.astype(jnp.float32),                          # 18
+        packed.materials[face_mesh],                            # 19..19+n_mat
+    ]
+    if textured:
+        cols.append(packed.uvs[packed.faces].reshape(-1, 6))
+        cols.append(world_pos[packed.faces].reshape(-1, 9))
+        # per-mesh atlas page indices ride the record too (small ints,
+        # exact through f32)
+        cols.append(jnp.stack([
+            packed.map_index[face_mesh], packed.emissive_map_index[face_mesh],
+            packed.mr_map_index[face_mesh], packed.normal_map_index[face_mesh],
+            packed.ao_map_index[face_mesh],
+        ], axis=-1).astype(jnp.float32))
+    rec = _fetch_face_table(_pack_face_table(cols), ids)
+    wts = _weights_from_coeffs(rec[..., 0:9], height, width)
+    nv = rec[..., 9:18].reshape(rec.shape[:-1] + (3, 3))
+    nrm = (nv[..., 0, :] * wts[..., 0:1] + nv[..., 1, :] * wts[..., 1:2]
+           + nv[..., 2, :] * wts[..., 2:3])
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
-    mesh_id = packed.vert_mesh_id[vidx[..., 0]]
-    mat = packed.materials[mesh_id]        # (H, W, MATERIAL_ROW_SIZE)
+    mesh_id = rec[..., 18].astype(jnp.int32)
+    mat = rec[..., 19:19 + n_mat]          # (H, W, MATERIAL_ROW_SIZE)
     diffuse = mat[..., 0:4]
     emissive = mat[..., 6:9]
 
     roughness = mat[..., 4]
     metalness = mat[..., 5]
     ao = None
-    if packed.map_atlas.shape[0] > 0:
+    if textured:
         # textured materials: perspective-correct uv, repeat wrap, atlas
         # page per mesh (`GBufferMaterial.js:46-96` map sampling)
-        uv = _interp(packed.uvs, vidx, wts)
-        m_page = packed.map_index[mesh_id]
-        e_page = packed.emissive_map_index[mesh_id]
+        uvv = rec[..., 19 + n_mat: 25 + n_mat]
+        uv = (uvv[..., 0:2] * wts[..., 0:1] + uvv[..., 2:4] * wts[..., 1:2]
+              + uvv[..., 4:6] * wts[..., 2:3])
+        pages = rec[..., 34 + n_mat: 39 + n_mat].astype(jnp.int32)
+        m_page, e_page, mr_page, n_page, a_page = (
+            pages[..., 0], pages[..., 1], pages[..., 2], pages[..., 3],
+            pages[..., 4],
+        )
         tex = _sample_atlas(packed.map_atlas, jnp.maximum(m_page, 0), uv)
         diffuse = jnp.where((m_page >= 0)[..., None], diffuse * tex, diffuse)
         etex = _sample_atlas(packed.map_atlas, jnp.maximum(e_page, 0), uv)
@@ -492,16 +593,16 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
         )
         # metallic-roughness texture (glTF: G = roughness, B = metalness,
         # multiplied onto the factors — three.js roughnessMap/metalnessMap)
-        mr_page = packed.mr_map_index[mesh_id]
         mr_tex = _sample_atlas(packed.map_atlas, jnp.maximum(mr_page, 0), uv)
         has_mr = mr_page >= 0
         roughness = jnp.where(has_mr, roughness * mr_tex[..., 1], roughness)
         metalness = jnp.where(has_mr, metalness * mr_tex[..., 2], metalness)
         # tangent-space normal map via screen-derivative tangent frames
         # (three.js getTangentFrame + normal_fragment_maps)
-        n_page = packed.normal_map_index[mesh_id]
         n_tex = _sample_atlas(packed.map_atlas, jnp.maximum(n_page, 0), uv)
-        wpos = _interp(world_pos, vidx, wts)
+        wv = rec[..., 19 + n_mat + 6: 19 + n_mat + 15]
+        wpos = (wv[..., 0:3] * wts[..., 0:1] + wv[..., 3:6] * wts[..., 1:2]
+                + wv[..., 6:9] * wts[..., 2:3])
         nrm = jnp.where(
             (n_page >= 0)[..., None],
             _perturb_normal(nrm, wpos, uv, n_tex[..., :3], mat[..., 9]),
@@ -509,7 +610,6 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
         )
         # occlusion texture -> baked-AO plane (three.js aomap_fragment:
         # 1 + strength*(texel.r - 1); modulates indirect in shade_direct)
-        a_page = packed.ao_map_index[mesh_id]
         a_tex = _sample_atlas(packed.map_atlas, jnp.maximum(a_page, 0), uv)
         ao = jnp.where(a_page >= 0,
                        1.0 + mat[..., 10] * (a_tex[..., 0] - 1.0), 1.0)
@@ -565,16 +665,30 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
     ids, depth01 = _visibility(clip, packed.faces, height, width,
                                tri_alpha, dither, cnmf, alpha_tex,
                                alpha_peels)
-    vidx, wts, valid = _pixel_weights(clip, packed.faces, ids, height, width)
+    valid = ids >= 0
+    # per-face packed record (see rasterize_gbuffer): edge coeffs +
+    # current/previous clip corners + normals in one fetch chain
+    rec = _fetch_face_table(_pack_face_table([
+        _face_edge_coeffs(clip, packed.faces, height, width),   # 0..8
+        clip[packed.faces].reshape(-1, 12),                     # 9..20
+        prev_clip[packed.faces].reshape(-1, 12),                # 21..32
+        world_nrm[packed.faces].reshape(-1, 9),                 # 33..41
+    ]), ids)
+    wts = _weights_from_coeffs(rec[..., 0:9], height, width)
 
-    cur = _interp(clip, vidx, wts)         # (H, W, 4)
-    prev = _interp(prev_clip, vidx, wts)
+    def interp3(base, c):
+        v = rec[..., base: base + 3 * c].reshape(rec.shape[:-1] + (3, c))
+        return (v[..., 0, :] * wts[..., 0:1] + v[..., 1, :] * wts[..., 1:2]
+                + v[..., 2, :] * wts[..., 2:3])
+
+    cur = interp3(9, 4)                    # (H, W, 4)
+    prev = interp3(21, 4)
     safe = lambda w: jnp.where(jnp.abs(w) > 1e-6, w, 1e-6)
     cur_ndc = cur[..., :2] / safe(cur[..., 3:4])
     prev_ndc = prev[..., :2] / safe(prev[..., 3:4])
     vel = (cur_ndc - prev_ndc) * 0.5       # ndc -> uv units
 
-    nrm = _interp(world_nrm, vidx, wts)
+    nrm = interp3(33, 3)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
     vmask = valid[..., None]
