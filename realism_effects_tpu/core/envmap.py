@@ -125,7 +125,12 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
     pdf/cdf per row (conditional) and across rows (marginal), inverted into
     lookup arrays with half-texel centering.
     """
-    data = np.asarray(data, np.float32)
+    # the reference's env textures are HalfFloatType (RGBELoader /
+    # EXRLoader targets): quantize once to f16 storage and build the CDF
+    # from the SAME quantized values so importance pdfs match fetches —
+    # and a 3-channel bilinear env tap rides ONE 32-byte f16 quad gather
+    data = np.asarray(np.asarray(data, np.float32).astype(np.float16),
+                      np.float32)
     h, w = data.shape[:2]
 
     # native threaded CDF builder (the Web Worker's C++ replacement)
@@ -133,10 +138,14 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
     native_result = native.build_equirect_cdf(data)
     if native_result is not None:
         marginal, conditional, total = native_result
-        mips = tuple(build_mip_chain(jnp.asarray(data), max_levels=max_mip_levels))
+        mips = tuple(
+            m.astype(jnp.float16)
+            for m in build_mip_chain(jnp.asarray(data),
+                                     max_levels=max_mip_levels))
+        atlas = build_mip_atlas(jnp.asarray(data))
         return EquirectEnv(
             mips=mips,
-            atlas=build_mip_atlas(jnp.asarray(data)),
+            atlas=MipAtlas(atlas.data.astype(jnp.float16), atlas.shapes),
             marginal=jnp.asarray(marginal),
             conditional=jnp.asarray(conditional),
             total_sum=jnp.asarray(total, jnp.float32),
@@ -167,10 +176,14 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
         cols[y] = _binary_search_rows(cdf_cond[y], targets_x)
     conditional = ((np.clip(cols, 0, w - 1) + 0.5) / w).astype(np.float32)
 
-    mips = tuple(build_mip_chain(jnp.asarray(data), max_levels=max_mip_levels))
+    mips = tuple(
+        m.astype(jnp.float16)
+        for m in build_mip_chain(jnp.asarray(data),
+                                 max_levels=max_mip_levels))
+    atlas = build_mip_atlas(jnp.asarray(data))
     return EquirectEnv(
         mips=mips,
-        atlas=build_mip_atlas(jnp.asarray(data)),
+        atlas=MipAtlas(atlas.data.astype(jnp.float16), atlas.shapes),
         marginal=jnp.asarray(marginal),
         conditional=jnp.asarray(conditional),
         total_sum=jnp.asarray(total, jnp.float32),

@@ -114,6 +114,9 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray,
     squeeze = tex.ndim == 2
     base = tex[..., None] if squeeze else tex
     c = base.shape[2]
+    # an f16-stored texture always quad-packs (16 f16 = 32 B = one
+    # base-price gather)
+    half = half or base.dtype == jnp.float16
 
     if c <= 2 or (half and c <= 4):
         src = base.astype(jnp.float16) if half else base
@@ -293,8 +296,8 @@ def _atlas_bilinear(atlas: MipAtlas, uv: jnp.ndarray, l: jnp.ndarray):
     ix = x0.astype(jnp.int32)
 
     c = atlas.data.shape[-1]
-    if c <= 2:
-        q = _gather2d(_pack_quad(atlas.data), iy, ix)
+    if c <= 2 or (c <= 4 and atlas.data.dtype == jnp.float16):
+        q = _gather2d(_pack_quad(atlas.data), iy, ix).astype(jnp.float32)
         c00, c01, c10, c11 = (
             q[..., :c], q[..., c:2 * c], q[..., 2 * c:3 * c], q[..., 3 * c:]
         )
