@@ -99,8 +99,17 @@ def poisson_denoise_pass(
     depth = gbuffer.depth
     # the reference reads normals through the packed G-buffer's
     # octahedral half2x16 channel (`poisson_denoise.frag:59,85`) — the
-    # center normal is quantized exactly like the tap normals
-    normal = unpack_normal(pack_normal(gbuffer.normal))
+    # center normal is quantized exactly like the tap normals. Zero
+    # (background) normals stay zero: oct encoding divides by |n|_1 and
+    # would turn them into NaNs that poison the fwidth-based flatness of
+    # every neighboring pixel.
+    n_valid = (
+        jnp.sum(jnp.abs(gbuffer.normal), axis=-1, keepdims=True) > 1e-8
+    )
+    packed_nrm = jnp.where(
+        n_valid[..., 0], pack_normal(gbuffer.normal), 0.0
+    )
+    normal = jnp.where(n_valid, unpack_normal(packed_nrm), 0.0)
     roughness = gbuffer.roughness
     is_background = depth >= 1.0
     # denoise targets are rgba16f render targets: centers and taps both
@@ -138,7 +147,7 @@ def poisson_denoise_pass(
     # [depth, oct-normal half2x16, roughness, (rg half2x16, ba half2x16)
     # per texture]
     n_tex = len(textures)
-    slots = [depth, pack_normal(gbuffer.normal), roughness]
+    slots = [depth, packed_nrm, roughness]
     for t in textures:
         slots.append(pack_half2x16(t[..., 0:2]))
         slots.append(pack_half2x16(t[..., 2:4]))
@@ -162,30 +171,57 @@ def poisson_denoise_pass(
     uug, vvg = jnp.meshgrid(ug, vg)
     uv_g = jnp.stack([uug, vvg], axis=-1)
 
-    def fetch(tex3, n_uv):
-        """One nearest gather at global uv ``n_uv``, clamped to the
-        global image, addressed into this (possibly halo-extended)
-        block (`poisson_denoise.frag:96`; all inputs NearestFilter)."""
+    def tap_indices(n_uv):
+        """Target texel of the clamped nearest fetch at global ``n_uv``,
+        addressed into this (possibly halo-extended) block
+        (`poisson_denoise.frag:96`; all inputs NearestFilter)."""
         ix = jnp.clip(
             jnp.floor(n_uv[..., 0] * wg).astype(jnp.int32), 0, wg - 1
         )
         iy = jnp.clip(
             jnp.floor(n_uv[..., 1] * hg).astype(jnp.int32), 0, hg - 1
         ) - row0i
-        return tex3[jnp.clip(iy, 0, h - 1), ix]
+        return jnp.clip(iy, 0, h - 1), ix
 
+    def fetch(tex3, n_uv):
+        iy, ix = tap_indices(n_uv)
+        return tex3[iy, ix]
+
+    # tap uvs for all 8 taps (`poisson_denoise.frag:185-190`:
+    # neighborUv = vUv + rm * (offset / resolution) with
+    # rm = r * flatness * mat2(c, -s, s, c); GLSL mat2 is column-major,
+    # so rm @ v = (c*vx + s*vy, -s*vx + c*vy), applied to the
+    # aspect-scaled *global* uv offset)
+    tap_uvs = []
     for k in range(8):
         off = POISSON8[k]
-        # neighborUv = vUv + rm * (offset / resolution) with
-        # rm = r * flatness * mat2(c, -s, s, c)  (`poisson_denoise.frag:185-190`);
-        # GLSL mat2 is column-major, so rm @ v = (c*vx + s*vy, -s*vx + c*vy),
-        # applied to the aspect-scaled *global* uv offset
         ox_g = (c * (off[0] / wg) + s * (off[1] / hg)) * rscale
         oy_g = (-s * (off[0] / wg) + c * (off[1] / hg)) * rscale
-        n_uv = uv_g + jnp.stack([ox_g, oy_g], axis=-1)
+        tap_uvs.append(uv_g + jnp.stack([ox_g, oy_g], axis=-1))
+
+    # dense-select path: tap reach is bounded by the radius, so on the
+    # unsharded path the 8 nearest fetches become ONE Pallas kernel of
+    # masked VMEM selects — bit-identical values, no per-index gather
+    # pricing (see ops/pallas/poisson_taps.py)
+    dense_taps = None
+    if bundle is not None and resolution is None:
+        from .pallas.poisson_taps import dense_windows, poisson_taps_dense
+        windows = dense_windows(cfg.radius, hg, wg)
+        if windows is not None:
+            idx = [tap_indices(tuv) for tuv in tap_uvs]
+            dense_taps = poisson_taps_dense(
+                bundle,
+                jnp.stack([iy for iy, _ in idx]),
+                jnp.stack([ix for _, ix in idx]),
+                windows,
+            )
+
+    for k in range(8):
+        n_uv = tap_uvs[k]
 
         if bundle is not None:
-            b = fetch(bundle, n_uv)
+            b = dense_taps[k] if dense_taps is not None \
+                else fetch(bundle, n_uv)
             n_depth = b[..., 0]
             n_normal = unpack_normal(b[..., 1])
             n_rough = b[..., 2]
