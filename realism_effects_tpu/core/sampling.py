@@ -318,7 +318,16 @@ def _atlas_bilinear(atlas: MipAtlas, uv: jnp.ndarray, l: jnp.ndarray):
 
 
 def sample_mip_atlas(atlas: MipAtlas, uv: jnp.ndarray, lod) -> jnp.ndarray:
-    """Trilinear fetch at per-pixel fractional ``lod`` from the atlas."""
+    """Trilinear fetch at per-pixel fractional ``lod`` from the atlas.
+
+    A static integer ``lod`` (e.g. the background fetch at lod 0) takes
+    a single-level path: one bilinear tap instead of the two-level
+    blend, numerically identical (the second level's weight is 0)."""
+    if isinstance(lod, (int, float)) and float(lod) == int(lod):
+        lvl = int(min(max(int(lod), 0), atlas.levels - 1))
+        return _atlas_bilinear(
+            atlas, uv, jnp.full(uv.shape[:-1], float(lvl), jnp.float32)
+        )
     lod = jnp.clip(
         jnp.broadcast_to(jnp.asarray(lod, jnp.float32), uv.shape[:-1]),
         0.0, atlas.levels - 1,

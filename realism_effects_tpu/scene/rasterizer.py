@@ -260,7 +260,11 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
             z = jnp.where(covered, z_ndc, jnp.inf)
             k_best = jnp.argmin(z, axis=-1)                 # (H, W)
             z_best = jnp.min(z, axis=-1)
-            id_best = inp["ids"][k_best]
+            # chunk ids are consecutive (arange, padded with -1 at the
+            # very end — pad slots never win: valid=False -> z=inf), so
+            # the winner id is plain arithmetic, NOT a full-res gather
+            # (a gather here runs once per scan step: F/16 per pass)
+            id_best = inp["ids"][0] + k_best.astype(jnp.int32)
 
             better = z_best < zbuf
             zbuf = jnp.where(better, z_best, zbuf)
