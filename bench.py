@@ -34,6 +34,16 @@ sync after each stage, so their sum slightly exceeds the pipelined total.
 ``--scene sponza`` runs the flagship stack at 1080p on the reference's
 262k-triangle Draco-compressed Sponza (real-geometry workload;
 combine with ``--breakdown`` for per-pass numbers).
+
+``--trace march|sweep`` picks the SSGI trace discretization (default
+sweep). "sweep" is the TPU-native direction-binned roll sweep
+(`ops/ssgi_sweep.py`): every depth fetch is a whole-frame roll instead
+of a per-pixel priced gather, same hit law, converges to the march's
+result through the temporal filter (pinned within 12% rel RMSE by
+`test_ssgi.py::TestSweepTrace`). "march" is the reference's exact
+per-pixel gather march (`ssgi.frag:441-503`) — its ~50 executed
+full-resolution gathers are priced per index (CLAUDE.md rule 2b) and
+dominate the frame on this hardware.
 """
 
 from __future__ import annotations
@@ -45,6 +55,7 @@ import time
 import numpy as np
 
 BASELINE_MS = 8.0
+TRACE = "sweep"  # --trace march|sweep (see module docstring)
 WIDTH, HEIGHT = 1920, 1080
 WARMUP = 2
 ITERS = 5
@@ -118,7 +129,7 @@ def build_composer():
     cam.look_at((0, 0.5, 0))
     composer = EffectComposer(scene, cam, WIDTH, HEIGHT)
     # the BASELINE.md flagship stack: SSGI + HBAO + TRAA + motion blur
-    composer.add_effect(SSGIEffect())
+    composer.add_effect(SSGIEffect(trace=TRACE))
     composer.add_effect(HBAOEffect())
     composer.add_effect(MotionBlurEffect())
     composer.add_effect(TRAAEffect())
@@ -152,7 +163,7 @@ def build_sponza_composer():
     cam.set_position(8.0, 2.2, -0.5)
     cam.look_at((-6.0, 3.0, 0.0))
     composer = EffectComposer(scene, cam, WIDTH, HEIGHT)
-    composer.add_effect(SSGIEffect())
+    composer.add_effect(SSGIEffect(trace=TRACE))
     composer.add_effect(HBAOEffect())
     composer.add_effect(MotionBlurEffect())
     composer.add_effect(TRAAEffect())
@@ -245,10 +256,10 @@ def build_config(n: int):
             cam.set_position(4 * np.sin(ang), 2.5, 4 * np.cos(ang))
             cam.look_at((0, 0.5, 0))
     elif n == 4:
-        composer.add_effect(SSGIEffect(steps=20, refine_steps=5))
+        composer.add_effect(SSGIEffect(steps=20, refine_steps=5, trace=TRACE))
         animate = None
     else:
-        composer.add_effect(SSGIEffect())
+        composer.add_effect(SSGIEffect(trace=TRACE))
         composer.add_effect(HBAOEffect())
         composer.add_effect(MotionBlurEffect())
         composer.add_effect(TRAAEffect())
@@ -319,7 +330,11 @@ def _warn_if_loaded():
 
 def main():
     import sys
+    global TRACE
     _warn_if_loaded()
+    if "--trace" in sys.argv:
+        TRACE = sys.argv[sys.argv.index("--trace") + 1]
+        assert TRACE in ("march", "sweep"), TRACE
     if "--config" in sys.argv:
         run_config(int(sys.argv[sys.argv.index("--config") + 1]))
         return

@@ -194,7 +194,7 @@ def build_scene(name: str):
     return scene, cam, animate
 
 
-def build_effects(names, aa: str):
+def build_effects(names, aa: str, trace: str = "march"):
     from realism_effects_tpu import (
         BloomEffect, GradualBackgroundEffect, GTAOEffect, HBAOEffect,
         LensDistortionEffect, LUT3DEffect, MotionBlurEffect, SharpnessEffect,
@@ -209,8 +209,8 @@ def build_effects(names, aa: str):
         return LUT3DEffect(load_lut_3dl(path))
 
     table = {
-        "ssgi": lambda: SSGIEffect(),
-        "ssr": lambda: SSREffect(),
+        "ssgi": lambda: SSGIEffect(trace=trace),
+        "ssr": lambda: SSREffect(trace=trace),
         "hbao": lambda: HBAOEffect(),
         "gtao": lambda: GTAOEffect(),
         "motion_blur": lambda: MotionBlurEffect(),
@@ -253,6 +253,10 @@ def main():
                          "sponza | asset:<path-to-glb>")
     ap.add_argument("--effects", default="ssgi,hbao")
     ap.add_argument("--aa", default="traa", choices=["traa", "taa", "fxaa", "smaa", "none"])
+    ap.add_argument("--trace", default="march", choices=["march", "sweep"],
+                    help="SSGI trace: 'march' = the reference's exact "
+                         "per-pixel gather march; 'sweep' = the TPU-native "
+                         "direction-binned roll sweep (ops/ssgi_sweep.py)")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default="/tmp/re_tpu_demo")
@@ -286,7 +290,7 @@ def main():
             eq = blur_env(eq, float(blur))
         scene.environment = build_equirect_env(eq)
     composer = EffectComposer(scene, cam, args.size, args.size)
-    effects = build_effects(args.effects.split(","), args.aa)
+    effects = build_effects(args.effects.split(","), args.aa, args.trace)
     for e in effects:
         composer.add_effect(e)
     # a ToneMappingEffect in the chain already produced display-ready

@@ -87,7 +87,9 @@ class SSGIEffect(Effect):
                  env_box: tuple | None = None,
                  preset: str | None = None,
                  selection: str = "mask",
-                 output_texture: str | None = None):
+                 output_texture: str | None = None,
+                 trace: str = "march", sweep_dirs: int = 16,
+                 sweep_steps: int = 32):
         if preset is not None:
             p = SSGI_PRESETS[preset]
             steps = p.get("steps", steps)
@@ -117,10 +119,13 @@ class SSGIEffect(Effect):
         self.output_texture = output_texture
 
         self.resolution_scale = float(resolution_scale)
+        if trace not in ("march", "sweep"):
+            raise ValueError("trace must be 'march' or 'sweep'")
         self.cfg = SSGIConfig(
             mode=self.mode, steps=steps, refine_steps=refine_steps,
             missed_rays=missed_rays, importance_sampling=importance_sampling,
             use_direct_light=use_direct_light, env_box=env_box,
+            trace=trace, sweep_dirs=sweep_dirs, sweep_steps=sweep_steps,
         )
         n_tex = 2 if self.mode == "ssgi" else 1
         self.temporal_cfg = TemporalReprojectConfig(

@@ -43,6 +43,13 @@ class SSGIConfig:
     mode: str = "ssgi"               # "ssgi" | "ssr"
     steps: int = 20
     refine_steps: int = 5
+    #: trace discretization: "march" = the reference's per-pixel gather
+    #: march (exact semantics, ~14 ms/step at 1080p on the target TPU);
+    #: "sweep" = direction-binned roll sweep (`ops/ssgi_sweep.py`),
+    #: gather-free, same hit law, snap noise integrated temporally
+    trace: str = "march"
+    sweep_dirs: int = 16             # direction bins (sweep trace)
+    sweep_steps: int = 32            # radii per bin (sweep trace)
     missed_rays: bool = False
     importance_sampling: bool = True
     env_lum_clamp: bool = True
@@ -265,6 +272,21 @@ def ssgi(
     diffuse_ray = jnp.where(is_env_sample[..., None], env_mis_dir, cos_hemi)
     specular_ray = jnp.where(is_env_sample[..., None], env_mis_dir, l_view)
 
+    if cfg.trace == "sweep":
+        # both rays swept in one loop, every step's roll shared
+        from .ssgi_sweep import sweep_ray_march
+
+        sweep_rays = [specular_ray] + (
+            [diffuse_ray] if cfg.mode == "ssgi" else []
+        )
+        sweep_traces = sweep_ray_march(
+            view_pos, sweep_rays, depth, cam, frame, thickness,
+            ray_distance, dirs=cfg.sweep_dirs, steps=cfg.sweep_steps,
+        )
+        traced = {id(r): t for r, t in zip(sweep_rays, sweep_traces)}
+    else:
+        traced = None
+
     def do_sample(l, is_diffuse_mask):
         """`ssgi.frag:362-439` for one ray direction."""
         _, s_nol, s_noh, s_loh, s_voh = brdf.calculate_angles(l, v, n)
@@ -283,9 +305,12 @@ def ssgi(
         )
         brdf_val = brdf_val * cos_theta
 
-        coords, hit_pos, missed = _view_space_ray_march(
-            view_pos, l, depth, cam, r3, thickness, ray_distance, cfg
-        )
+        if traced is not None:
+            coords, hit_pos, missed = traced[id(l)]
+        else:
+            coords, hit_pos, missed = _view_space_ray_march(
+                view_pos, l, depth, cam, r3, thickness, ray_distance, cfg
+            )
 
         env_color = _get_env_color(
             env, l, cam.view_matrix, roughness, is_diffuse_mask,

@@ -1,0 +1,240 @@
+"""Direction-binned sweep ray tracing: the TPU-native SSGI march.
+
+The reference's screen-space march (`/root/reference/src/ssgi/shader/
+ssgi.frag:441-503`) fetches depth at a per-pixel computed uv every
+step — a dynamic gather. On the target TPU a gather is priced per
+*index* (~7 ns), so the reference discretization costs ~14 ms per step
+at 1080p and the 2-ray x (20+5)-step default ~700 ms/frame: dynamic
+addressing, not FLOPs, is the wall (CLAUDE.md rule 2b).
+
+This module re-discretizes the *same* trace — same ray geometry, same
+``diff in [0, thickness)`` hit law, same miss/env fallback contract —
+so that every depth fetch is a whole-frame ``jnp.roll`` (a bulk copy,
+no per-index pricing):
+
+* A ray's perspective projection is a 2-D screen line, and 1/w is
+  linear in screen distance ``s`` along it (perspective-correct
+  interpolation), so the ray's view-z at any screen point is closed
+  form: no per-step 3-D advance is needed.
+* Rays are binned by their projected screen *direction* into ``dirs``
+  sectors. All pixels in a bin sample depth at the same integer texel
+  offsets, so one roll per (direction, radius) step serves the whole
+  frame; a pixel only accepts hits from its own bin's steps.
+* Radii follow a shared geometric schedule (dense near the origin like
+  the reference's eased steps, reaching the full frame diagonal).
+* The bin set rotates every frame by an R2 low-discrepancy angle, so
+  the <= pi/dirs direction snap is zero-mean over frames and the
+  temporal accumulator converges to the unsnapped estimate (the same
+  mechanism that integrates the reference's per-frame stochastic ray).
+* Instead of the reference's 5 binary-refine fetches, the hit position
+  is refined *analytically*: with the hit texel's depth already in
+  hand, ``z_ray(s) = z_depth`` solves in closed form for ``s`` within
+  the bracketing step interval. Zero fetches, tighter than 5 halvings.
+
+Both of SSGI's rays (diffuse + specular) are swept in ONE loop sharing
+each step's roll, so the second ray costs only elementwise work.
+
+Deliberate deviations from the gather march (documented in PARITY.md):
+out-of-frame samples are misses (the reference's edge-clamped fetches
+can manufacture hits from border texels), and rays whose projection
+moves less than a texel (|screen dir| ~ 0) miss instead of
+sub-pixel-self-hitting. Both are border/degenerate cases the border
+fade and temporal filter already suppress.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math3d
+
+EPS = 1e-6
+_R2_PHI = 0.6180339887498949  # golden-ratio rotation per frame
+
+
+def _project_ray(view_pos, l, cam, height, width):
+    """Per-pixel screen-line parametrization of the view-space ray.
+
+    Returns (q0, e_hat, k_len, w0, wd, phi):
+      q0     (H, W, 2) ray origin in pixel coords
+      e_hat  (H, W, 2) unit screen direction of the projected ray
+      k_len  (H, W)    |K| with K = (xy_d*w0 - xy_0*w_d) in pixel units;
+                       screen distance s and ray parameter t relate via
+                       t(s) = s*w0^2 / (|K| - s*w0*wd)
+      w0, wd (H, W)    clip-w of the origin / per-unit-t increment
+    """
+    p = cam.projection_matrix
+    scale = jnp.asarray([width * 0.5, height * 0.5], jnp.float32)
+
+    xy0, w0 = math3d.transform_point_nodiv(p, view_pos)
+    xy0 = xy0[..., :2] * scale
+    # direction rows (no translation): P @ (l, 0)
+    lx, ly, lz = l[..., 0], l[..., 1], l[..., 2]
+    xyd = jnp.stack(
+        [
+            (p[0, 0] * lx + p[0, 1] * ly + p[0, 2] * lz) * scale[0],
+            (p[1, 0] * lx + p[1, 1] * ly + p[1, 2] * lz) * scale[1],
+        ],
+        axis=-1,
+    )
+    wd = p[3, 0] * lx + p[3, 1] * ly + p[3, 2] * lz
+
+    q0 = xy0 / jnp.maximum(w0[..., None], EPS) + scale
+    k = xyd * w0[..., None] - xy0 * wd[..., None]
+    k_len = jnp.linalg.norm(k, axis=-1)
+    e_hat = k / jnp.maximum(k_len[..., None], EPS)
+    return q0, e_hat, k_len, w0, wd
+
+
+def _t_of_s(s, k_len, w0, wd):
+    """Ray parameter t at screen distance s (pixels) along the line."""
+    denom = k_len - s * w0 * wd
+    t = s * w0 * w0 / jnp.where(jnp.abs(denom) > EPS, denom, EPS)
+    return t, denom
+
+
+def _s_of_t(t, k_len, w0, wd):
+    """Inverse of :func:`_t_of_s`."""
+    w_t = w0 + t * wd
+    return k_len * t / jnp.maximum(w0 * w_t, EPS)
+
+
+def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
+                    ray_distance, dirs: int = 16, steps: int = 32,
+                    min_radius: float = 1.5):
+    """Trace ``rays`` (list of (H, W, 3) view-space directions) against
+    the depth buffer with zero per-pixel gathers.
+
+    Returns a list of (uv, hit_pos, missed) triples with the same
+    contract as the gather march (`ops/ssgi.py::_view_space_ray_march`):
+    uv in [0,1]^2, hit_pos in view space (1e9 sentinel on miss).
+    """
+    h, w = depth_tex.shape
+    n_rays = len(rays)
+
+    # per-frame rotation of the bin set (R2 sequence)
+    xi = jnp.mod(jnp.asarray(frame, jnp.float32) * _R2_PHI, 1.0)
+    two_pi = 2.0 * jnp.pi
+    bin_width = two_pi / dirs
+
+    # shared radial schedule: geometric from min_radius to the diagonal
+    diag = float((h * h + w * w) ** 0.5)
+    ks = jnp.arange(steps, dtype=jnp.float32)
+    radii = min_radius * (diag / min_radius) ** (ks / (steps - 1))
+    radii_prev = jnp.concatenate([jnp.zeros((1,)), radii[:-1]])
+
+    # (dirs*steps, 5) step table: dy, dx, s_eff, s_prev, bin index —
+    # built inside the trace (jnp) because xi is a traced value
+    ang = (jnp.arange(dirs, dtype=jnp.float32) + xi) * bin_width
+    dxs = jnp.round(radii[None, :] * jnp.cos(ang)[:, None])
+    dys = jnp.round(radii[None, :] * jnp.sin(ang)[:, None])
+    # screen distance of the *rounded* texel offset along the bin dir
+    s_eff = dxs * jnp.cos(ang)[:, None] + dys * jnp.sin(ang)[:, None]
+    s_prev = jnp.broadcast_to(radii_prev[None, :], s_eff.shape)
+    bin_of_step = jnp.broadcast_to(
+        jnp.arange(dirs, dtype=jnp.float32)[:, None], s_eff.shape
+    )
+    table = jnp.stack(
+        [dys.reshape(-1), dxs.reshape(-1), s_eff.reshape(-1),
+         s_prev.reshape(-1), bin_of_step.reshape(-1)], axis=-1
+    )
+
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    per_ray = []
+    for l in rays:
+        q0, e_hat, k_len, w0, wd = _project_ray(view_pos, l, cam, h, w)
+        phi = jnp.arctan2(e_hat[..., 1], e_hat[..., 0])  # (-pi, pi]
+        bin_idx = jnp.mod(
+            jnp.round(phi / bin_width - xi), float(dirs)
+        )
+        # screen length of the whole ray (t = ray_distance); rays whose
+        # far end is behind the eye (w <= 0) run to the vanishing point
+        w_end = w0 + ray_distance * wd
+        s_end = jnp.where(
+            w_end > EPS,
+            _s_of_t(jnp.asarray(ray_distance, jnp.float32), k_len, w0, wd),
+            jnp.inf,
+        )
+        z0 = view_pos[..., 2]
+        lz = l[..., 2]
+        per_ray.append(dict(
+            q0=q0, e_hat=e_hat, k_len=k_len, w0=w0, wd=wd,
+            bin_idx=bin_idx, s_end=s_end, z0=z0, lz=lz,
+            hit=jnp.zeros((h, w), bool),
+            s_hit=jnp.zeros((h, w), jnp.float32),
+        ))
+
+    def body(m, carry):
+        row = table[m]
+        dy = row[0].astype(jnp.int32)
+        dx = row[1].astype(jnp.int32)
+        s = row[2]
+        s_lo = row[3]
+        d_bin = row[4]
+
+        depth_s = jnp.roll(depth_tex, (-dy, -dx), (0, 1))
+        z_d = math3d.depth_to_view_z(depth_s, cam)
+        in_frame = (
+            (yy + dy >= 0) & (yy + dy < h) & (xx + dx >= 0) & (xx + dx < w)
+        )
+
+        out = []
+        for r in carry:
+            t_s, denom = _t_of_s(s, r["k_len"], r["w0"], r["wd"])
+            valid = (denom > EPS) & (t_s >= 0.0) & (t_s <= ray_distance) \
+                & (s <= r["s_end"])
+            z_ray = r["z0"] + t_s * r["lz"]
+            diff = z_d - z_ray
+            cond = (diff >= 0.0) & (diff < thickness)
+            upd = (r["bin_idx"] == d_bin) & (~r["hit"]) & in_frame \
+                & valid & cond
+
+            # analytic refine: s* where z_ray(s) == z_d, clamped to the
+            # bracketing interval (replaces `ssgi.frag:477-503`'s five
+            # fetching binary halvings)
+            lz_safe = jnp.where(jnp.abs(r["lz"]) > EPS, r["lz"], EPS)
+            t_star = (z_d - r["z0"]) / lz_safe
+            s_star = _s_of_t(t_star, r["k_len"], r["w0"], r["wd"])
+            s_ref = jnp.clip(s_star, s_lo, s)
+            s_ref = jnp.where(
+                (t_star >= 0.0) & (t_star <= ray_distance), s_ref, s
+            )
+
+            out.append(dict(
+                r,
+                hit=r["hit"] | upd,
+                s_hit=jnp.where(upd, s_ref, r["s_hit"]),
+            ))
+        return out
+
+    per_ray = jax.lax.fori_loop(0, dirs * steps, body, per_ray)
+
+    results = []
+    size = jnp.asarray([w, h], jnp.float32)
+    for r, l in zip(per_ray, rays):
+        missed = ~r["hit"]
+        # miss uv: the march's final position — the ray end or the frame
+        # exit along the line, whichever comes first (border-fade input)
+        sx = jnp.where(
+            r["e_hat"][..., 0] > EPS, (w - r["q0"][..., 0]) / r["e_hat"][..., 0],
+            jnp.where(r["e_hat"][..., 0] < -EPS,
+                      -r["q0"][..., 0] / r["e_hat"][..., 0], jnp.inf),
+        )
+        sy = jnp.where(
+            r["e_hat"][..., 1] > EPS, (h - r["q0"][..., 1]) / r["e_hat"][..., 1],
+            jnp.where(r["e_hat"][..., 1] < -EPS,
+                      -r["q0"][..., 1] / r["e_hat"][..., 1], jnp.inf),
+        )
+        s_exit = jnp.minimum(jnp.minimum(sx, sy), jnp.minimum(r["s_end"], diag))
+        s_out = jnp.where(missed, jnp.maximum(s_exit, 0.0), r["s_hit"])
+
+        q = r["q0"] + s_out[..., None] * r["e_hat"]
+        uv = q / size
+        t_hit, _ = _t_of_s(s_out, r["k_len"], r["w0"], r["wd"])
+        hit_pos = view_pos + t_hit[..., None] * l
+        hit_pos = jnp.where(missed[..., None], 1.0e9, hit_pos)
+        results.append((uv, hit_pos, missed))
+    return results

@@ -187,3 +187,84 @@ class TestSSGIEndToEnd:
         composer.render()
         alpha2 = np.asarray(composer.state("ssgi")["history"][0])[..., 3]
         assert alpha2.max() <= 1.0 + 1e-3
+
+
+class TestSweepTrace:
+    """The direction-binned roll-sweep trace (`ops/ssgi_sweep.py`) — the
+    gather-free TPU discretization of `ssgi.frag:441-503`'s march."""
+
+    def _camera(self):
+        cam = PerspectiveCamera(60, 1.0, 0.1, 100.0)
+        cam.set_position(0, 0, 5)
+        cam.look_at((0, 0, 0))
+        return cam.matrices()
+
+    def test_wall_hit_analytic_refine(self):
+        """An angled ray into a flat wall must hit at the exact analytic
+        intersection (closed-form refine beats the march's 5 halvings)."""
+        from realism_effects_tpu.core.math3d import view_z_to_perspective_depth
+        from realism_effects_tpu.ops.ssgi_sweep import sweep_ray_march
+
+        m = self._camera()
+        h = w = 64
+        wall_depth = float(
+            view_z_to_perspective_depth(jnp.asarray(-5.0), 0.1, 100.0))
+        depth = jnp.full((h, w), wall_depth, jnp.float32)
+        view_pos = jnp.tile(
+            jnp.asarray([0.0, 0.0, -3.0], jnp.float32), (h, w, 1))
+        l = jnp.asarray([0.35, 0.1, -0.93], jnp.float32)
+        l = jnp.tile(l / jnp.linalg.norm(l), (h, w, 1))
+
+        (uv, hit_pos, missed), = sweep_ray_march(
+            view_pos, [l], depth, m, 3, 1.0, 10.0, dirs=16, steps=32)
+        missed = np.asarray(missed)
+        # border pixels may sweep out of frame (documented deviation);
+        # the interior must hit
+        assert not missed[16:48, 16:48].any()
+        z = np.asarray(hit_pos)[..., 2][~missed]
+        np.testing.assert_allclose(z, -5.0, atol=1e-3)
+        assert np.isfinite(np.asarray(uv)).all()
+
+    def test_background_misses(self):
+        """depth == 1 (background, viewZ = -far) everywhere -> every ray
+        misses with the 1e9 sentinel, like the gather march."""
+        from realism_effects_tpu.ops.ssgi_sweep import sweep_ray_march
+
+        m = self._camera()
+        h = w = 32
+        depth = jnp.ones((h, w), jnp.float32)
+        view_pos = jnp.tile(
+            jnp.asarray([0.0, 0.0, -3.0], jnp.float32), (h, w, 1))
+        l = jnp.asarray([0.35, 0.1, -0.93], jnp.float32)
+        l = jnp.tile(l / jnp.linalg.norm(l), (h, w, 1))
+        (uv, hit_pos, missed), = sweep_ray_march(
+            view_pos, [l], depth, m, 0, 0.1, 5.0, dirs=8, steps=16)
+        assert bool(np.asarray(missed).all())
+        assert (np.asarray(hit_pos)[..., 0] > 1e8).all()
+        assert np.isfinite(np.asarray(uv)).all()
+
+    def test_end_to_end_matches_march(self):
+        """SSGI with trace='sweep' converges to the march's result on the
+        emissive-panel scene (same hit law; direction snap integrates out
+        through the per-frame R2 bin rotation + temporal filter)."""
+        frames = {}
+        for mode in ("march", "sweep"):
+            scene, cam = _gi_scene()
+            c = EffectComposer(scene, cam, 96, 96)
+            c.add_effect(SSGIEffect(steps=8, refine_steps=2, trace=mode,
+                                    sweep_dirs=12, sweep_steps=24))
+            first = np.asarray(c.render())
+            for _ in range(15):
+                last = np.asarray(c.render())
+            region = np.s_[30:68, 52:82]
+            gain = last[region][..., 0].mean() / max(
+                first[region][..., 0].mean(), 1e-6)
+            frames[mode] = (last, gain)
+        a, gain_march = frames["march"]
+        b, gain_sweep = frames["sweep"]
+        assert np.isfinite(b).all() and b.min() >= 0.0
+        # both show the indirect red bounce building up
+        assert gain_sweep > 1.02, f"no indirect gain under sweep: {gain_sweep}"
+        # converged frames agree closely (CPU 128^2 measured ~4.6% rel RMSE)
+        rel_rmse = float(np.sqrt(((a - b) ** 2).mean()) / max(a.mean(), 1e-6))
+        assert rel_rmse < 0.12, f"sweep diverges from march: {rel_rmse}"
