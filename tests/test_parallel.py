@@ -385,14 +385,17 @@ class TestShardedFullFrame:
         assert img.sharding == row_sharding(mesh)
         np.testing.assert_allclose(np.asarray(img), ref_img, atol=2e-4)
 
-    def test_flagship_ssgi_stack_multi_frame_matches(self, mesh):
+    @pytest.mark.parametrize("trace", ["march", "sweep"])
+    def test_flagship_ssgi_stack_multi_frame_matches(self, mesh, trace):
         """The FLAGSHIP stack (SSGI + HBAO + motion blur + TRAA — the
         `__graft_entry__._build_pipeline` composition, with the full
         temporal feedback topology: SSGI reads last frame's composed
         output, the temporal history is the Poisson B buffer,
         `SSGIPass.js:88` / `Denoiser.js:51`) run for 3 frames on the
         8-device mesh, asserting sharded == single-chip on every frame's
-        image AND on the final temporal state."""
+        image AND on the final temporal state — for BOTH trace
+        discretizations (the reference gather march and the TPU-native
+        roll sweep, whose rolls GSPMD must lower to exact collectives)."""
         import jax.numpy as jnp
         from realism_effects_tpu import (
             EffectComposer, HBAOEffect, Material, MotionBlurEffect,
@@ -417,7 +420,9 @@ class TestShardedFullFrame:
             cam.set_position(3, 2.5, 4)
             cam.look_at((0, 0.5, 0))
             composer = EffectComposer(scene, cam, w, h)
-            composer.add_effect(SSGIEffect(steps=6, refine_steps=2))
+            composer.add_effect(SSGIEffect(steps=6, refine_steps=2,
+                                           trace=trace, sweep_dirs=8,
+                                           sweep_steps=12))
             composer.add_effect(HBAOEffect(spp=2))
             composer.add_effect(MotionBlurEffect(samples=4))
             composer.add_effect(TRAAEffect())
