@@ -35,15 +35,18 @@ sync after each stage, so their sum slightly exceeds the pipelined total.
 262k-triangle Draco-compressed Sponza (real-geometry workload;
 combine with ``--breakdown`` for per-pass numbers).
 
-``--trace march|sweep`` picks the SSGI trace discretization (default
-sweep). "sweep" is the TPU-native direction-binned roll sweep
-(`ops/ssgi_sweep.py`): every depth fetch is a whole-frame roll instead
-of a per-pixel priced gather, same hit law, converges to the march's
-result through the temporal filter (pinned within 12% rel RMSE by
-`test_ssgi.py::TestSweepTrace`). "march" is the reference's exact
-per-pixel gather march (`ssgi.frag:441-503`) — its ~50 executed
-full-resolution gathers are priced per index (CLAUDE.md rule 2b) and
-dominate the frame on this hardware.
+``--trace march|sweep`` picks the discretization of the gather-heavy
+kernels (default sweep). "sweep" is the TPU-native direction-binned
+roll sweep — for the SSGI trace (`ops/ssgi_sweep.py`) AND the motion
+blur line integral (`ops/motion_blur.motion_blur_sweep`): every fetch
+is a whole-frame roll instead of a per-pixel priced gather, same
+hit/integral law, converges to the reference discretization through
+the temporal filter (pinned by `test_ssgi.py::TestSweepTrace` /
+`test_motion_blur.py::TestMotionBlurSweep`). "march" is the
+reference's exact per-pixel gather formulation (`ssgi.frag:441-503`,
+`motion_blur.frag:23-42`) — its executed full-resolution gathers are
+priced per index (CLAUDE.md rule 2b) and dominate the frame on this
+hardware.
 """
 
 from __future__ import annotations
@@ -59,6 +62,13 @@ TRACE = "sweep"  # --trace march|sweep (see module docstring)
 WIDTH, HEIGHT = 1920, 1080
 WARMUP = 2
 ITERS = 5
+
+
+def _mb():
+    """Motion blur effect matching the --trace discretization choice."""
+    from realism_effects_tpu import MotionBlurEffect
+
+    return MotionBlurEffect(mode="sweep" if TRACE == "sweep" else "taps")
 
 
 def _sync(img) -> float:
@@ -108,7 +118,7 @@ def _measure_stages(composer, animate, start_frame, iters=ITERS):
 
 def build_composer():
     from realism_effects_tpu import (
-        EffectComposer, HBAOEffect, Material, MotionBlurEffect,
+        EffectComposer, HBAOEffect, Material,
         PerspectiveCamera, Scene, SSGIEffect, TRAAEffect,
         build_equirect_env, make_box, make_plane, make_sphere,
         procedural_sky, translation,
@@ -131,7 +141,7 @@ def build_composer():
     # the BASELINE.md flagship stack: SSGI + HBAO + TRAA + motion blur
     composer.add_effect(SSGIEffect(trace=TRACE))
     composer.add_effect(HBAOEffect())
-    composer.add_effect(MotionBlurEffect())
+    composer.add_effect(_mb())
     composer.add_effect(TRAAEffect())
     return composer, cam
 
@@ -148,7 +158,7 @@ def build_sponza_composer():
     procedural scene — this is the representative asset-workload number
     (VERDICT r2 weak #4)."""
     from realism_effects_tpu import (
-        EffectComposer, HBAOEffect, MotionBlurEffect, PerspectiveCamera,
+        EffectComposer, HBAOEffect, PerspectiveCamera,
         SSGIEffect, Scene, TRAAEffect, build_equirect_env, procedural_sky,
     )
     from realism_effects_tpu.scene.gltf import load_gltf_asset
@@ -165,7 +175,7 @@ def build_sponza_composer():
     composer = EffectComposer(scene, cam, WIDTH, HEIGHT)
     composer.add_effect(SSGIEffect(trace=TRACE))
     composer.add_effect(HBAOEffect())
-    composer.add_effect(MotionBlurEffect())
+    composer.add_effect(_mb())
     composer.add_effect(TRAAEffect())
     return composer, cam
 
@@ -200,7 +210,7 @@ def run_sponza(breakdown: bool):
 
 def build_config(n: int):
     from realism_effects_tpu import (
-        EffectComposer, HBAOEffect, Material, MotionBlurEffect,
+        EffectComposer, HBAOEffect, Material,
         PerspectiveCamera, Scene, SSGIEffect, TRAAEffect,
         build_equirect_env, make_box, make_plane, make_sphere,
         procedural_sky, rotation_y, translation,
@@ -248,7 +258,7 @@ def build_config(n: int):
         composer.add_effect(HBAOEffect(denoise_iterations=4))
         animate = None
     elif n == 3:
-        composer.add_effect(MotionBlurEffect())
+        composer.add_effect(_mb())
         composer.add_effect(TRAAEffect())
 
         def animate(f):
@@ -261,7 +271,7 @@ def build_config(n: int):
     else:
         composer.add_effect(SSGIEffect(trace=TRACE))
         composer.add_effect(HBAOEffect())
-        composer.add_effect(MotionBlurEffect())
+        composer.add_effect(_mb())
         composer.add_effect(TRAAEffect())
 
         def animate(f):

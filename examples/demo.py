@@ -213,7 +213,8 @@ def build_effects(names, aa: str, trace: str = "march"):
         "ssr": lambda: SSREffect(trace=trace),
         "hbao": lambda: HBAOEffect(),
         "gtao": lambda: GTAOEffect(),
-        "motion_blur": lambda: MotionBlurEffect(),
+        "motion_blur": lambda: MotionBlurEffect(
+            mode="sweep" if trace == "sweep" else "taps"),
         "sharpness": lambda: SharpnessEffect(),
         "sparkle": lambda: SparkleEffect(),
         "lens_distortion": lambda: LensDistortionEffect(),
@@ -254,7 +255,7 @@ def main():
     ap.add_argument("--effects", default="ssgi,hbao")
     ap.add_argument("--aa", default="traa", choices=["traa", "taa", "fxaa", "smaa", "none"])
     ap.add_argument("--trace", default="march", choices=["march", "sweep"],
-                    help="SSGI trace: 'march' = the reference's exact "
+                    help="discretization: 'march' = the reference's exact "
                          "per-pixel gather march; 'sweep' = the TPU-native "
                          "direction-binned roll sweep (ops/ssgi_sweep.py)")
     ap.add_argument("--frames", type=int, default=60)

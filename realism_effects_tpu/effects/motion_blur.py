@@ -4,6 +4,17 @@ TPU port of `/root/reference/src/motion-blur/MotionBlurEffect.js` +
 `shader/motion_blur.frag`: a ``samples``-tap jittered line integral along
 the per-pixel velocity, frame-rate normalized by ``frameSpeed =
 (1/100)/deltaTime``, blue-noise jittered start/end UVs.
+
+``mode`` picks the discretization of that integral (static option →
+retrace on change):
+
+* ``"taps"`` — the reference's per-pixel bilinear taps
+  (`ops/motion_blur.motion_blur`).  Each tap is a priced full-res
+  gather on the target TPU: ~550 ms at 1080p for the default 16
+  samples — the single most expensive stage of the flagship frame.
+* ``"sweep"`` — the TPU-native direction-binned roll sweep
+  (`ops/motion_blur.motion_blur_sweep`): zero per-pixel gathers, every
+  tap a whole-frame bulk copy shared by all pixels in a direction bin.
 """
 
 from __future__ import annotations
@@ -16,14 +27,20 @@ class MotionBlurEffect(Effect):
     name = "motion_blur"
 
     def __init__(self, intensity: float = 1.0, jitter: float = 1.0,
-                 samples: int = 16):
+                 samples: int = 16, mode: str = "taps",
+                 sweep_dirs: int = 16, sweep_steps: int = 12):
+        if mode not in ("taps", "sweep"):
+            raise ValueError("mode must be 'taps' or 'sweep'")
         self.intensity = intensity
         self.jitter = jitter
         self.samples = int(samples)
+        self.mode = mode
+        self.sweep_dirs = int(sweep_dirs)
+        self.sweep_steps = int(sweep_steps)
         self.delta_time = 1.0 / 60.0
 
     def static_key(self):
-        return (self.samples,)
+        return (self.samples, self.mode, self.sweep_dirs, self.sweep_steps)
 
     def host_update(self, composer):
         # measured per-frame dt, already clamped to >= 1 ms by the
@@ -40,9 +57,17 @@ class MotionBlurEffect(Effect):
 
     def apply(self, ctx, color, state):
         u = ctx.params[self.name]
-        out = _op.motion_blur(
-            color, ctx.velocity.velocity, ctx.frame_index,
-            intensity=u["intensity"], jitter=u["jitter"],
-            delta_time=u["delta_time"], samples=self.samples,
-        )
+        if self.mode == "sweep":
+            out = _op.motion_blur_sweep(
+                color, ctx.velocity.velocity, ctx.frame_index,
+                intensity=u["intensity"], jitter=u["jitter"],
+                delta_time=u["delta_time"], dirs=self.sweep_dirs,
+                steps=self.sweep_steps,
+            )
+        else:
+            out = _op.motion_blur(
+                color, ctx.velocity.velocity, ctx.frame_index,
+                intensity=u["intensity"], jitter=u["jitter"],
+                delta_time=u["delta_time"], samples=self.samples,
+            )
         return out, state

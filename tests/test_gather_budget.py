@@ -35,8 +35,19 @@ BUDGETS = {
     "traa": 6,
 }
 
+# The sweep discretizations (`--trace sweep`, the bench default) replace
+# per-pixel priced fetches with whole-frame rolls: motion blur becomes
+# fully gather-free; ssgi keeps its non-trace gathers (env/temporal/
+# Poisson taps — but note gather *definitions* pin program shape: the
+# march's defs sit inside a steps×refine loop and execute ~25×, the
+# sweep's all execute once).
+SWEEP_BUDGETS = {
+    "ssgi": 24,
+    "motion_blur": 0,
+}
 
-def _stage_hlo_texts(width=96, height=64):
+
+def _stage_hlo_texts(width=96, height=64, sweep=False):
     """Build the flagship composer, capture each stage's compiled HLO."""
     import jax
 
@@ -52,9 +63,17 @@ def _stage_hlo_texts(width=96, height=64):
     cam.set_position(3, 2.5, 4)
     cam.look_at((0, 0.5, 0))
     composer = re_tpu.EffectComposer(scene, cam, width, height)
-    composer.add_effect(re_tpu.SSGIEffect())
+    if sweep:
+        composer.add_effect(re_tpu.SSGIEffect(
+            trace="sweep", sweep_dirs=8, sweep_steps=8))
+    else:
+        composer.add_effect(re_tpu.SSGIEffect())
     composer.add_effect(re_tpu.HBAOEffect())
-    composer.add_effect(re_tpu.MotionBlurEffect())
+    if sweep:
+        composer.add_effect(re_tpu.MotionBlurEffect(
+            mode="sweep", sweep_dirs=8, sweep_steps=6))
+    else:
+        composer.add_effect(re_tpu.MotionBlurEffect())
     composer.add_effect(re_tpu.TRAAEffect())
     # staged path (per-stage programs), not the fused single dispatch
     composer.fuse_raster = False
@@ -115,3 +134,18 @@ def test_budgets_not_slack(stage_hlo):
             f"{stage}: {count} gather defs is far below budget {budget} — "
             "tighten BUDGETS to lock in the win"
         )
+
+
+@pytest.fixture(scope="module")
+def sweep_stage_hlo():
+    return _stage_hlo_texts(sweep=True)
+
+
+@pytest.mark.parametrize("stage", sorted(SWEEP_BUDGETS))
+def test_sweep_stage_gather_budget(sweep_stage_hlo, stage):
+    count = _gather_defs(sweep_stage_hlo[stage])
+    assert count <= SWEEP_BUDGETS[stage], (
+        f"{stage} (sweep mode): {count} gather definitions > budget "
+        f"{SWEEP_BUDGETS[stage]} — the roll-sweep path regained a priced "
+        "per-pixel fetch"
+    )
