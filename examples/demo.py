@@ -233,7 +233,8 @@ def build_effects(names, aa: str, trace: str = "march"):
         # ssgi+tonemap / traa / sharpness+vignette / bloom+lut
         names = ["ssgi", "tonemap", aa, "sharpness", "vignette",
                  "bloom", "lut"]
-        names = [n for n in names if n != "none"]
+        # "none" adds nothing; "msaa" is a composer option, not a pass
+        names = [n for n in names if n not in ("none", "msaa")]
         aa = "inline"
     effects = [table[n.strip()]() for n in names if n.strip()]
     if aa == "traa":
@@ -244,6 +245,8 @@ def build_effects(names, aa: str, trace: str = "march"):
         effects.append(FXAAEffect())
     elif aa == "smaa":
         effects.append(SMAAEffect())
+    # "msaa" adds no post pass: it is the composer's supersampled-raster
+    # resolve (EffectComposer(msaa=2)), wired up in main()
     return effects
 
 
@@ -253,7 +256,11 @@ def main():
                     help="showcase | traa_test | ao | gltf | dynamic | "
                          "sponza | asset:<path-to-glb>")
     ap.add_argument("--effects", default="ssgi,hbao")
-    ap.add_argument("--aa", default="traa", choices=["traa", "taa", "fxaa", "smaa", "none"])
+    ap.add_argument("--aa", default="traa",
+                    choices=["traa", "taa", "fxaa", "smaa", "msaa", "none"],
+                    help="anti-aliasing; 'msaa' = 4-sample supersampled "
+                         "raster resolve (the reference demo's WebGL "
+                         "multisampling branch, main.js:116-154)")
     ap.add_argument("--trace", default="march", choices=["march", "sweep"],
                     help="discretization: 'march' = the reference's exact "
                          "per-pixel gather march; 'sweep' = the TPU-native "
@@ -290,7 +297,8 @@ def main():
         if blur:
             eq = blur_env(eq, float(blur))
         scene.environment = build_equirect_env(eq)
-    composer = EffectComposer(scene, cam, args.size, args.size)
+    composer = EffectComposer(scene, cam, args.size, args.size,
+                              msaa=2 if args.aa == "msaa" else 1)
     effects = build_effects(args.effects.split(","), args.aa, args.trace)
     for e in effects:
         composer.add_effect(e)

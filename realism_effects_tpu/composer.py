@@ -182,12 +182,22 @@ class EffectComposer:
     """Drives the frame loop; owns effects, state, and host bookkeeping."""
 
     def __init__(self, scene: Scene, camera: Camera, width: int, height: int,
-                 alpha_peels: int = 3):
+                 alpha_peels: int = 3, msaa: int = 1):
         _enable_compile_cache()
         self.scene = scene
         self.camera = camera
         self.width = int(width)
         self.height = int(height)
+        #: geometric-edge anti-aliasing by supersampled raster: ``msaa=s``
+        #: rasterizes and shades at s*s the display resolution and
+        #: box-resolves the color (the TPU analog of the reference demo's
+        #: WebGL ``multisampling: 4`` composer branch,
+        #: `example/main.js:116-154` — there is no hardware multisample
+        #: resolve on TPU, so this is true SSAA: strictly higher quality,
+        #: s^2 raster+shade cost). The G-buffer/velocity planes the
+        #: effects consume resolve by center-sample pick (depth/normals/
+        #: ids don't average). Static: changing it retraces.
+        self.msaa = max(1, int(msaa))
         #: depth-peel passes bounding alpha-*map* transparency depth
         #: (scene/rasterizer._visibility); raise for scenes with > 3
         #: overlapping dithered-out texels per pixel (each extra peel is
@@ -318,6 +328,8 @@ class EffectComposer:
         stage unpacks what it needs on device.
         """
         h, w = self.height, self.width
+        ss = self.msaa
+        hr, wr = h * ss, w * ss  # raster resolution (msaa supersampling)
         layout = self._layout
 
         has_bones = self.scene.num_bones() > 1
@@ -360,18 +372,18 @@ class EffectComposer:
                 seed = (
                     cnmf + layout.get(ubuf, "frame_index")
                 ).astype(jnp.int32)
-                dither = blue_noise_image(h, w, seed)[..., 0]
+                dither = blue_noise_image(hr, wr, seed)[..., 0]
             else:
                 dither = None
             gbuffer = rasterize_gbuffer(
-                packed, model_mats, cam.projection_view_matrix, h, w,
+                packed, model_mats, cam.projection_view_matrix, hr, wr,
                 bones=bones, dither=dither, cnmf=cnmf,
                 morph_weights=morph_w, alpha_peels=self.alpha_peels,
             )
             velocity = rasterize_velocity(
                 packed, model_mats, prev_model_mats,
                 unjit_cam.projection_view_matrix,
-                prev_cam.projection_view_matrix, h, w,
+                prev_cam.projection_view_matrix, hr, wr,
                 bones=bones, prev_bones=prev_bones, dither=dither,
                 cnmf=cnmf, morph_weights=morph_w,
                 prev_morph_weights=prev_morph_w,
@@ -383,11 +395,21 @@ class EffectComposer:
                 fm = packed.vert_mesh_id[packed.faces[:, 0]]
                 face_keep = layout.get(ubuf, "gi_mask")[fm] > 0.5
                 gi_gbuffer = rasterize_gbuffer(
-                    packed, model_mats, cam.projection_view_matrix, h, w,
+                    packed, model_mats, cam.projection_view_matrix, hr, wr,
                     bones=bones, dither=dither, cnmf=cnmf,
                     morph_weights=morph_w, alpha_peels=self.alpha_peels,
                     face_keep=face_keep,
                 )
+            if ss > 1:
+                # MSAA resolve: box-average shaded color over each s*s
+                # sample block; pick the center sample for the planes the
+                # effects consume (depth/normals/ids are non-averageable)
+                color = color.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
+                pick = lambda a: a[ss // 2::ss, ss // 2::ss]
+                gbuffer = jax.tree_util.tree_map(pick, gbuffer)
+                velocity = jax.tree_util.tree_map(pick, velocity)
+                if gi_gbuffer is not None:
+                    gi_gbuffer = jax.tree_util.tree_map(pick, gi_gbuffer)
             return gbuffer, velocity, color, gi_gbuffer
 
         self._raster_stage = jax.jit(raster_stage)
