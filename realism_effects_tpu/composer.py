@@ -155,6 +155,30 @@ def _unpack_camera(layout: UniformLayout, buf: jnp.ndarray, prefix: str
 _COMPILE_CACHE_READY = False
 
 
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU's feature set.
+
+    XLA:CPU persists AOT-compiled executables specialized to the compile
+    host's CPU features; loading them on a host with different features
+    is not caught by the cache key and SIGABRTs/SIGILLs deep in native
+    code (observed: a cache written on an avx512 `prefer-no-gather`
+    machine aborting every sharded program on the next session's host).
+    Namespacing the default cache dir by this tag makes a machine change
+    a cache miss instead of a crash."""
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: big scenes (e.g. the 262k-triangle
     Sponza) compile their raster scan in minutes the first time; caching
@@ -169,7 +193,8 @@ def _enable_compile_cache():
 
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(tempfile.gettempdir(), "re_tpu_xla_cache"))
+            os.path.join(tempfile.gettempdir(),
+                         f"re_tpu_xla_cache_{_machine_tag()}"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -255,6 +280,16 @@ class EffectComposer:
         """Discard temporal history next frame (keepData=0 for one frame,
         like `TemporalReprojectPass.js:158-160`)."""
         self._reset_pending = True
+
+    def refresh_lighting(self):
+        """Re-stage the scene's lighting (sun/ambient/point lights) on
+        device next frame. Lighting is cached at first render — one
+        host->device transfer costs ~35 ms on this hardware, so it is
+        deliberately NOT re-read per frame; call this after mutating
+        ``scene.sun_*`` / ``scene.ambient`` / ``scene.point_lights``.
+        Changing the *set* of params (enabling ``sun_specular``, first
+        point light) retraces; changing values does not."""
+        self._lighting = None
 
     def set_size(self, width: int, height: int):
         """Resize the frame (``EffectComposer.setSize`` /
