@@ -80,6 +80,29 @@ class Scene:
         self.sun_color = np.array([1.0, 0.96, 0.9], np.float32)
         self.sun_intensity = 2.5
         self.ambient = np.array([0.25, 0.28, 0.33], np.float32)
+        #: GGX specular sun response strength (0 disables — the default
+        #: keeps the Lambert-only look the golden fixtures pin; set 1.0
+        #: for the three.js MeshPhysicalMaterial-style highlight)
+        self.sun_specular = 0.0
+        #: three.js PointLight analogs for the built-in shader
+        #: (`add_point_light`); list of dicts, packed by lighting_params
+        self.point_lights: list[dict] = []
+
+    def add_point_light(self, position, color=(1.0, 1.0, 1.0),
+                        intensity=1.0, distance=0.0, decay=2.0):
+        """three.js ``PointLight(color, intensity, distance, decay)``
+        analog for the built-in direct-light shader: physical inverse-
+        square falloff with the same windowed cutoff three.js applies
+        when ``distance > 0`` (``getDistanceAttenuation``:
+        ``pow(clamp(1 - (d/distance)^4, 0, 1), 2) / d^decay``)."""
+        self.point_lights.append({
+            "position": np.asarray(position, np.float32),
+            "color": np.asarray(color, np.float32),
+            "intensity": float(intensity),
+            "distance": float(distance),
+            "decay": float(decay),
+        })
+        return self.point_lights[-1]
 
     def add(self, mesh: Mesh) -> Mesh:
         self.meshes.append(mesh)
@@ -270,9 +293,25 @@ class Scene:
 
     def lighting_params(self) -> dict:
         sun = self.sun_direction / np.linalg.norm(self.sun_direction)
-        return {
+        params = {
             "sun_direction": jnp.asarray(sun, jnp.float32),
             "sun_color": jnp.asarray(self.sun_color * self.sun_intensity, jnp.float32),
             "ambient": jnp.asarray(self.ambient, jnp.float32),
             "background_color": jnp.asarray(self.background_color, jnp.float32),
         }
+        if self.sun_specular > 0.0:
+            params["sun_specular"] = jnp.float32(self.sun_specular)
+        if self.point_lights:
+            params["point_positions"] = jnp.asarray(
+                np.stack([pl["position"] for pl in self.point_lights]),
+                jnp.float32)
+            params["point_colors"] = jnp.asarray(
+                np.stack([pl["color"] * pl["intensity"]
+                          for pl in self.point_lights]), jnp.float32)
+            params["point_distance"] = jnp.asarray(
+                np.array([pl["distance"] for pl in self.point_lights]),
+                jnp.float32)
+            params["point_decay"] = jnp.asarray(
+                np.array([pl["decay"] for pl in self.point_lights]),
+                jnp.float32)
+        return params
