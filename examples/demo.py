@@ -90,6 +90,36 @@ def build_scene(name: str):
         cam.look_at((0, 1.4, 0))
         animate = None
 
+    elif name == "lights":
+        # built-in shading showcase: dim sun + GGX specular + colored
+        # three.js-style point lights (three.js `PointLight` analog,
+        # `scene.add_point_light`)
+        scene.environment = build_equirect_env(
+            procedural_sky(64, 128) * 0.15)
+        scene.sun_intensity = 0.35
+        scene.sun_specular = 1.0
+        scene.add(make_plane(24, Material(diffuse=(0.5, 0.5, 0.55, 1.0),
+                                          roughness=0.3, metalness=0.1)))
+        for i, (col, rough) in enumerate([((0.9, 0.3, 0.2), 0.15),
+                                          ((0.85, 0.85, 0.9), 0.45),
+                                          ((0.3, 0.5, 0.9), 0.8)]):
+            ball = scene.add(make_sphere(0.5, material=Material(
+                diffuse=(*col, 1.0), roughness=rough, metalness=0.2)))
+            ball.set_matrix(translation(-1.6 + 1.6 * i, 0.5, 0))
+        pillar = scene.add(make_box((0.5, 2.2, 0.5), Material(
+            diffuse=(0.8, 0.78, 0.72, 1.0), roughness=0.6)))
+        pillar.set_matrix(translation(0, 1.1, -2.0))
+        scene.add_point_light((-2.2, 1.6, 1.8), color=(1.0, 0.35, 0.15),
+                              intensity=6.0, distance=8.0)
+        scene.add_point_light((2.2, 1.2, 1.2), color=(0.2, 0.5, 1.0),
+                              intensity=5.0, distance=8.0)
+        scene.add_point_light((0.0, 2.6, -0.8), color=(1.0, 0.95, 0.8),
+                              intensity=3.0)
+        cam = PerspectiveCamera(50, 1, 0.1, 100)
+        cam.set_position(0.4, 1.9, 4.6)
+        cam.look_at((0, 0.7, -0.3))
+        animate = None
+
     elif name == "gltf":
         # asset-pipeline demo: a GLB authored by write_glb and loaded
         # back through the glTF loader (`example/main.js:760-809` analog)
@@ -253,8 +283,8 @@ def build_effects(names, aa: str, trace: str = "march"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="showcase",
-                    help="showcase | traa_test | ao | gltf | dynamic | "
-                         "sponza | asset:<path-to-glb>")
+                    help="showcase | traa_test | ao | lights | gltf | "
+                         "dynamic | sponza | asset:<path-to-glb>")
     ap.add_argument("--effects", default="ssgi,hbao")
     ap.add_argument("--aa", default="traa",
                     choices=["traa", "taa", "fxaa", "smaa", "msaa", "none"],
