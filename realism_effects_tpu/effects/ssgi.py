@@ -83,7 +83,7 @@ class SSGIEffect(Effect):
                  denoise_mode: str = "full",
                  fog_color=None, fog_density: float = 0.0,
                  resolution_scale: float = 1.0,
-                 use_direct_light: bool = False,
+                 use_direct_light: bool = True,
                  env_box: tuple | None = None,
                  preset: str | None = None,
                  selection: str = "mask",
@@ -121,6 +121,12 @@ class SSGIEffect(Effect):
         self.resolution_scale = float(resolution_scale)
         if trace not in ("march", "sweep"):
             raise ValueError("trace must be 'march' or 'sweep'")
+        # use_direct_light defaults ON: the reference effect runs with
+        # `isUsingRenderPass = true` (`SSGIEffect.js:29`), which sets the
+        # `useDirectLight` define (`SSGIEffect.js:144-148`) so the lit
+        # scene render is added into diffuse+specular GI
+        # (`ssgi.frag:267-272`). Without it a scene lit only by
+        # sun/point lights (no environment) composes to black.
         self.cfg = SSGIConfig(
             mode=self.mode, steps=steps, refine_steps=refine_steps,
             missed_rays=missed_rays, importance_sampling=importance_sampling,

@@ -38,6 +38,8 @@ def test_flashbang_full_stack_matches_golden():
     for _ in range(5):
         img = c.render(dt=1 / 60)
     img = np.asarray(img)
+    if os.environ.get("RE_TPU_REGEN_GOLDEN"):
+        np.savez_compressed(FIXTURE, image=img)
     golden = np.load(FIXTURE)["image"].astype(np.float32)
     rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
     assert np.isfinite(img).all()
