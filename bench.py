@@ -5,19 +5,27 @@ Baseline (BASELINE.md north star): full SSGI+HBAO+TRAA+motion-blur stack
 at 1080p in < 8 ms/frame on one v5e chip. vs_baseline = baseline_ms /
 measured_ms (>1 means faster than target).
 
-MEASUREMENT VALIDITY (the r3 methodology fix): on this TPU tunnel,
+MEASUREMENT VALIDITY (r3 + r4 methodology fixes): on this TPU tunnel,
 ``block_until_ready()`` alone does NOT force execution until the process
 has performed at least one device->host readback — before that, frames
 are silently queued and "blocked" timings report ~1 ms for work that
-really takes seconds (verified: the same frame measures identically via
-block-only, per-frame readback, and N-frames-amortized once a readback
-has occurred; see CLAUDE.md rule 2). Every loop below therefore reads
-back a scalar from each rendered frame — first during warmup (which
-flips the process into synchronous mode and absorbs the
-minutes-long first-readback cost) and then once per timed frame (a
-4-byte transfer, ~3 ms, negligible against honest frame times).
-Numbers recorded before round 3 (BENCH_r01/r02) predate this fix and
-understate true frame cost by orders of magnitude.
+really takes seconds (the r3 fix; see CLAUDE.md rule 2). The r4
+refinement: once the process IS in synchronous mode, every sync
+(readback or block_until_ready) carries a ~29 ms host<->device
+round-trip latency floor (measured: a 1-element jitted add times 28.8 ms
+per readback-synced call, while 32 back-to-back dispatches of a ~36 ms
+kernel + ONE final readback time 35.9 ms/frame — the device was truly
+busy, so amortization is honest, not queue-hiding). Per-frame-synced
+timing therefore cannot measure anything below ~29 ms and overstates
+real frame cost by that constant. The timing loop below renders frames
+back-to-back (each frame's state feeds the next, so frames serialize on
+device) and reads back ONE scalar per batch: reported ms/frame =
+batch wall time / frames. That is the true device throughput — and the
+number a production render loop (which never round-trips the host
+mid-stream) actually achieves. The per-sync latency floor is measured
+and printed to stderr for transparency. Numbers recorded before round 3
+understate true cost by orders of magnitude; r3 numbers overstate
+per-stage cost by the ~29 ms sync floor.
 
 ``--config N`` (1..5) instead runs one of BASELINE.md's staged configs:
   1: VelocityDepthNormal + TRAA at 512x512
@@ -61,7 +69,8 @@ BASELINE_MS = 8.0
 TRACE = "sweep"  # --trace march|sweep (see module docstring)
 WIDTH, HEIGHT = 1920, 1080
 WARMUP = 2
-ITERS = 12
+ITERS = 12       # frames per amortized batch
+BATCHES = 4      # batches (one readback each); headline = best batch
 
 
 def _mb():
@@ -82,27 +91,51 @@ def _sync(img) -> float:
     return float(jnp.max(img))
 
 
-def _measure(composer, animate, warmup=WARMUP, iters=ITERS):
-    """Best-of-N ms/frame with readback-forced timing.
+def sync_floor_ms(samples: int = 6) -> float:
+    """Measured per-sync host<->device round-trip latency (~29 ms on the
+    axon tunnel): the time to read back a scalar from an array that is
+    ALREADY materialized on device, i.e. pure transport, zero compute."""
+    import jax.numpy as jnp
 
-    The minimum over the timed frames (timeit's statistic) is reported:
-    the device program is identical every frame, so the spread between
-    frames is host-side scheduling noise — under concurrent host load
-    the median inflates several-fold while the minimum stays within a
-    few percent of the idle-machine number (r2: driver recorded a 0.93
-    ms median under load for a frame that measures 0.67 ms idle)."""
+    x = jnp.zeros((8,), jnp.float32) + 1.0
+    _sync(x)  # materialize + enter synchronous mode
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        _sync(x)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.min(times))
+
+
+def _measure(composer, animate, warmup=WARMUP, iters=ITERS,
+             batches=BATCHES):
+    """Best-batch amortized ms/frame (see module docstring).
+
+    Warmup frames each force a readback (entering synchronous mode and
+    draining the lazy queue — the r3 fix). Timed batches then render
+    ``iters`` frames back-to-back with ONE readback at the end; frames
+    serialize on device because each frame consumes the previous frame's
+    donated state. Best batch is reported (device program is identical
+    every frame, so inter-batch spread is host scheduling noise; the
+    median batch is also computed for the breakdown artifact)."""
     for f in range(warmup):
         if animate:
             animate(f)
         _sync(composer.render(dt=1 / 60))
-    times = []
-    for f in range(iters):
-        if animate:
-            animate(warmup + f)
+    batch_ms = []
+    frame = warmup
+    img = None
+    for _b in range(batches):
         t0 = time.perf_counter()
-        _sync(composer.render(dt=1 / 60))
-        times.append((time.perf_counter() - t0) * 1000.0)
-    return float(np.min(times))
+        for _k in range(iters):
+            if animate:
+                animate(frame)
+            img = composer.render(dt=1 / 60)
+            frame += 1
+        _sync(img)
+        batch_ms.append((time.perf_counter() - t0) * 1000.0 / iters)
+    _measure.last_median = float(np.median(batch_ms))
+    return float(np.min(batch_ms))
 
 
 def _measure_stages(composer, animate, start_frame, iters=ITERS):
@@ -110,7 +143,14 @@ def _measure_stages(composer, animate, start_frame, iters=ITERS):
 
     Valid only after _measure (the process is in synchronous mode, so
     the per-stage ``block_until_ready`` calls actually block); the final
-    image is still read back each frame as a belt-and-braces barrier."""
+    image is still read back each frame as a belt-and-braces barrier.
+    Each stage boundary pays the ~29 ms sync latency floor, so the
+    measured floor is subtracted from every stage (clamped at 0); the
+    raw stage time is floor + value. Per-stage minima are taken
+    independently across frames, so the breakdown need not sum to any
+    single measured frame (it brackets the pipelined total from above:
+    staged execution also loses inter-stage fusion)."""
+    floor = sync_floor_ms()
     composer.collect_timings = True
     stage_times: dict[str, list] = {}
     for f in range(iters):
@@ -120,7 +160,9 @@ def _measure_stages(composer, animate, start_frame, iters=ITERS):
         for k, v in composer.last_timings.items():
             stage_times.setdefault(k, []).append(v)
     composer.collect_timings = False
-    return {k: float(np.min(v)) for k, v in stage_times.items()}
+    return {
+        k: max(float(np.min(v)) - floor, 0.0) for k, v in stage_times.items()
+    }
 
 
 def build_composer():

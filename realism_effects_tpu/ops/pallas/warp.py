@@ -1,0 +1,341 @@
+"""Pallas bounded-window per-pixel warp: the TPU screen-space fetch.
+
+Temporal fetches (TAA/TRAA history, reprojection validation probes,
+SSGI radiance pre-warp) read a texture at ``p + offset(p)`` where the
+per-pixel offset is a reprojection displacement — bounded by camera/
+object motion, i.e. a few pixels per frame in practice. An XLA gather
+prices that fetch per *index* (~15-20 ms per 1080p index set,
+CLAUDE.md rule 2b) no matter how local it is. This kernel exploits the
+bound: the frame is tiled into (BR, 128) blocks with a 3x3 halo; for
+each static vertical offset ``v`` in the window the horizontal
+component (up to +-127 texels, far wider than any one-frame
+reprojection) is resolved by a within-vreg lane gather
+(``take_along_axis(axis=1)`` on 128-lane groups, one hardware op) plus
+a 3-way lane-group select, and the per-pixel vertical offset then
+picks its row via a dense select over the (2*ky+1) candidates. The
+order matters: a lane gather or select keyed by the *output* pixel's
+index is only valid as the final op along that axis, so the kernel
+always gathers horizontally first (index depends only on the output
+pixel) and selects vertically last.
+
+Out-of-window targets (|dy| > ky or |dx| > 127) return an in_window=0
+flag so callers can fall back (temporal accumulators treat them as
+disocclusions — the same reset the reference applies to off-screen
+reprojections, `reproject.frag:130-167`).
+
+Modes:
+- ``nearest``:  tex[ty, tx]             (texelFetch / NearestFilter)
+- ``bilinear``: 2x2 footprint at (ty + fy, tx + fx)  (LinearFilter)
+- ``catrom``:   the reference's 5-tap Catmull-Rom history filter
+  (`reproject.frag:212-255`) evaluated on the true 4x4 footprint.
+
+Filter-tap neighbors are clamped to the frame (GL clamp-to-edge) AND
+to the window (so a +-127 horizontal target's outer tap reuses the
+window-edge texel). Every mode has a jnp reference implementing the
+identical semantics, used by the CPU/interpret fallback and the parity
+tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import _use_interpret
+
+BC = 128          # lane-group width: within-vreg gather operates mod 128
+_DEF_KY = 8       # default vertical window (+-ky rows)
+
+_BAND_OFF = {"nearest": (0,), "bilinear": (0, 1), "catrom": (-1, 0, 1, 2)}
+_TAP_OFF = _BAND_OFF  # horizontal taps mirror the vertical bands per mode
+
+
+def _choose_br(ky: int) -> int:
+    # block rows: a multiple of 8 comfortably larger than the window
+    return int(max(32, min(128, 8 * -(-(2 * ky + 8) // 8))))
+
+
+def _pad_hw(x, br, bc):
+    h, w = x.shape[-2], x.shape[-1]
+    ph, pw = (-h) % br, (-bc and (-w) % bc)
+    if ph or pw:
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+        x = jnp.pad(x, pad, mode="edge")
+    return x
+
+
+def _crw(f):
+    """Catmull-Rom weights for fraction f: taps at (-1, 0, +1, +2)."""
+    f2 = f * f
+    f3 = f2 * f
+    w0 = f2 - 0.5 * (f3 + f)
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w3 = 0.5 * (f3 - f2)
+    return w0, w1, 1.0 - w0 - w1 - w3, w3
+
+
+def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
+                 mode: str, c: int, h: int, w: int):
+    """Grid (NR, NC). refs: 9 halo blocks of the planar (C, H', W') texture
+    then (value_out, flag_out)."""
+    srcs = refs[:9]
+    val_ref, flag_ref = refs[9], refs[10]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    br = ty_ref.shape[0]
+
+    ty = ty_ref[...]
+    tx = tx_ref[...]
+
+    # absolute coords of this block's pixels
+    ii = jax.lax.broadcasted_iota(jnp.int32, (br, BC), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (br, BC), 1)
+    rr = i * br + ii
+    cc = j * BC + jj
+
+    dy = ty - rr
+    dx = tx - cc
+    in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= BC - 1)
+    dyc = jnp.clip(dy, -ky, ky)
+    dxc = jnp.clip(dx, -(BC - 1), BC - 1)
+
+    band_off = _BAND_OFF[mode]
+    tap_off = _TAP_OFF[mode]
+    v_lo = -ky + min(band_off)
+    v_hi = ky + max(band_off)
+
+    # per-band effective vertical offsets: frame clamp then window clamp
+    # (padded rows may sit past h-1; the window clamp keeps their selects
+    # in candidate range — their outputs are cropped anyway)
+    dyv = [
+        jnp.clip(jnp.clip(dyc + bo, -rr, (h - 1) - rr), v_lo, v_hi)
+        for bo in band_off
+    ]
+
+    # per-tap horizontal slab coordinates: frame clamp then window clamp
+    def tap_idx(k):
+        dxk = jnp.clip(jnp.clip(tx + k, 0, w - 1) - cc, -(BC - 1), BC - 1)
+        txa = jj + dxk + BC          # slab lane in [1, 3*BC)
+        return txa // BC - 1, txa % BC  # (group delta {-1,0,1}, lane)
+
+    taps = [tap_idx(k) for k in tap_off]
+
+    # filter weights (per output pixel; shared across vertical offsets)
+    if mode == "nearest":
+        wx = (None,)
+        wy = (None,)
+    elif mode == "bilinear":
+        fx = fx_ref[...]
+        fy = fy_ref[...]
+        wx = (1.0 - fx, fx)
+        wy = (1.0 - fy, fy)
+    else:
+        wx = _crw(fx_ref[...])
+        wy = _crw(fy_ref[...])
+
+    def gather_h(slab_row, lq, lr):
+        """slab_row (br, 3*BC) fetched at per-pixel lane (lq, lr)."""
+        out = None
+        for d in (-1, 0, 1):
+            grp = slab_row[:, BC * (1 + d): BC * (1 + d) + BC]
+            g = jnp.take_along_axis(grp, lr, axis=1)
+            out = g if out is None else jnp.where(lq == d, g, out)
+        return out
+
+    for cidx in range(c):
+        rows3 = [
+            jnp.concatenate([srcs[3 * r + cg][cidx] for cg in range(3)],
+                            axis=1)
+            for r in range(3)
+        ]
+        slab = jnp.concatenate(rows3, axis=0)   # (3*br, 3*BC)
+
+        acc = jnp.zeros((br, BC), jnp.float32)
+        for v in range(v_lo, v_hi + 1):
+            row_v = slab[br + v: br + v + br]   # static slice (br, 3*BC)
+            if mode == "nearest":
+                hrow = gather_h(row_v, *taps[0])
+            else:
+                hrow = None
+                for k in range(len(taps)):
+                    g = gather_h(row_v, *taps[k]) * wx[k]
+                    hrow = g if hrow is None else hrow + g
+            for b in range(len(band_off)):
+                sel = dyv[b] == v
+                contrib = hrow if mode == "nearest" else hrow * wy[b]
+                acc = jnp.where(sel, acc + contrib, acc)
+        val_ref[cidx] = acc
+    flag_ref[0] = in_window.astype(jnp.float32)
+
+
+def _specs(c, br, nr, nc):
+    def mk(dr, dc):
+        def im(i, j, dr=dr, dc=dc):
+            return (0, jnp.clip(i + dr, 0, nr - 1), jnp.clip(j + dc, 0, nc - 1))
+        return pl.BlockSpec((c, br, BC), im, memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((br, BC), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    halo = [mk(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    return idx_spec, halo
+
+
+def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
+                fy: jnp.ndarray | None = None,
+                fx: jnp.ndarray | None = None,
+                ky: int = _DEF_KY, mode: str = "nearest"):
+    """Fetch ``tex`` at per-pixel integer target (ty, tx) (+ fraction for
+    filtered modes). Targets are clamped into the frame, then into the
+    window (+-ky rows, +-127 cols); the returned flag marks targets that
+    were inside the window before clamping.
+
+    tex: (H, W) or (H, W, C<=8) f32. ty/tx: (H, W) int32. fy/fx: (H, W)
+    f32 fractions in [0, 1) for bilinear/catrom.
+    Returns (value (H, W[, C]), in_window (H, W) bool).
+    """
+    squeeze = tex.ndim == 2
+    base = tex[..., None] if squeeze else tex
+    h, w = base.shape[0], base.shape[1]
+    c = base.shape[2]
+    br = _choose_br(ky)
+
+    planar = _pad_hw(jnp.moveaxis(base, -1, 0), br, BC)
+    hp, wp = planar.shape[1], planar.shape[2]
+    nr, nc = hp // br, wp // BC
+
+    pad2 = lambda a: _pad_hw(a, br, BC)
+    ty_p = pad2(jnp.clip(ty, 0, h - 1))
+    tx_p = pad2(jnp.clip(tx, 0, w - 1))
+    zero = jnp.zeros((hp, wp), jnp.float32)
+    fy_p = pad2(fy) if fy is not None else zero
+    fx_p = pad2(fx) if fx is not None else zero
+
+    idx_spec, halo = _specs(c, br, nr, nc)
+    kern = functools.partial(_warp_kernel, ky=ky, mode=mode, c=c, h=h, w=w)
+    val, flag = pl.pallas_call(
+        kern,
+        grid=(nr, nc),
+        in_specs=[idx_spec, idx_spec, idx_spec, idx_spec] + halo,
+        out_specs=(
+            pl.BlockSpec((c, br, BC), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, BC), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(ty_p, tx_p, fy_p, fx_p, *([planar] * 9))
+    val = jnp.moveaxis(val[:, :h, :w], 0, -1)
+    flag = flag[0, :h, :w] > 0.5
+    if squeeze:
+        val = val[..., 0]
+    return val, flag
+
+
+# --------------------------------------------------------------------------
+# jnp reference (test oracle; also documents the exact semantics)
+# --------------------------------------------------------------------------
+
+def window_warp_ref(tex, ty, tx, fy=None, fx=None, ky=_DEF_KY,
+                    mode="nearest"):
+    """Gather-based reference with identical semantics (frame clamp, then
+    window clamp, per tap; in_window flag from the unclamped target)."""
+    squeeze = tex.ndim == 2
+    base = tex[..., None] if squeeze else tex
+    h, w = base.shape[0], base.shape[1]
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones_like(ty)
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones_like(tx)
+    tyc = jnp.clip(ty, 0, h - 1)
+    txc = jnp.clip(tx, 0, w - 1)
+    dy = tyc - ys
+    dx = txc - xs
+    in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= BC - 1)
+    dyc = jnp.clip(dy, -ky, ky)
+
+    def row_at(bo):
+        return ys + jnp.clip(jnp.clip(dyc + bo, -ys, (h - 1) - ys),
+                             -ky + bo_min, ky + bo_max)
+
+    def col_at(k):
+        dxk = jnp.clip(jnp.clip(txc + k, 0, w - 1) - xs, -(BC - 1), BC - 1)
+        return xs + dxk
+
+    band_off = _BAND_OFF[mode]
+    tap_off = _TAP_OFF[mode]
+    bo_min, bo_max = min(band_off), max(band_off)
+
+    if mode == "nearest":
+        wy = wx = (jnp.ones_like(ys, jnp.float32),)
+    elif mode == "bilinear":
+        wx = (1.0 - fx, fx)
+        wy = (1.0 - fy, fy)
+    else:
+        wx = _crw(fx)
+        wy = _crw(fy)
+
+    expand = (lambda a: a[..., None])
+    out = 0.0
+    for b, bo in enumerate(band_off):
+        row = 0.0
+        yb = row_at(bo)
+        for k, ko in enumerate(tap_off):
+            row = row + base[yb, col_at(ko)] * expand(wx[k])
+        out = out + row * expand(wy[b])
+    if squeeze:
+        out = out[..., 0]
+    return out, in_window
+
+
+# --------------------------------------------------------------------------
+# uv-level convenience wrappers (drop-in for the core.sampling fetches)
+# --------------------------------------------------------------------------
+
+def catmull_rom_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
+    """Catmull-Rom history sample at reprojected ``uv`` via the window
+    kernel (replaces `sample_catmull_rom_5tap`'s 5 packed gathers;
+    `reproject.frag:212-255` semantics on the true 4x4 footprint, which
+    the reference's 5 bilinear taps approximate).
+    Returns (rgba >= 0, in_window flag)."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    val, ok = window_warp(
+        tex, y0.astype(jnp.int32), x0.astype(jnp.int32),
+        fy=(y - y0), fx=(x - x0), ky=ky, mode="catrom",
+    )
+    return jnp.maximum(val, 0.0), ok
+
+
+def bilinear_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
+    """Bilinear fetch at ``uv`` via the window kernel (LinearFilter
+    semantics with clamp-to-edge, like core.sampling.sample_bilinear)."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(x0 < 0.0, 0.0, x - x0)
+    fy = jnp.where(y0 < 0.0, 0.0, y - y0)
+    val, ok = window_warp(
+        tex, y0.astype(jnp.int32), x0.astype(jnp.int32),
+        fy=fy, fx=fx, ky=ky, mode="bilinear",
+    )
+    return val, ok
+
+
+def nearest_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
+    """Nearest fetch at ``uv`` via the window kernel (texelFetch)."""
+    h, w = tex.shape[0], tex.shape[1]
+    ix = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    iy = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    return window_warp(tex, iy, ix, ky=ky, mode="nearest")
