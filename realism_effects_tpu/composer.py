@@ -238,6 +238,8 @@ class EffectComposer:
         self._static_sig = None
         self._packed = None
         self._lighting = None           # cached device lighting params
+        self._env_cache_key = None      # id() of the raw map last built
+        self._env_built = None          # EquirectEnv built from it
         self._prev_world = None         # numpy snapshots (host-side)
         self._prev_proj = None
         self._last_world = None
@@ -290,6 +292,45 @@ class EffectComposer:
         Changing the *set* of params (enabling ``sun_specular``, first
         point light) retraces; changing values does not."""
         self._lighting = None
+
+    def refresh_environment(self):
+        """Force the environment bundle to rebuild next frame.
+
+        The composer's ``keepEnvMapUpdated`` analog
+        (`SSGIEffect.js:309-366`): assigning a NEW raw map to
+        ``scene.environment`` is auto-detected by identity (like the
+        reference's texture-uuid comparison, `SSGIEffect.js:317-329`);
+        call this only after mutating the same array in place."""
+        self._env_cache_key = None
+
+    def _resolve_environment(self):
+        """The reference's per-frame env upkeep (`SSGIEffect.js:309-366`):
+        ``scene.environment`` may be a prebuilt :class:`EquirectEnv`, a
+        raw (H, W, 3) equirect HDR array, or (6, S, S, 3) cube faces.
+        Raw maps are converted (cube -> equirect like
+        `CubeToEquirectEnvPass.js:59-99`) and their CDF/mip bundle built
+        once, cached by map identity; a new assignment rebuilds and
+        resets temporal history (`SSGIEffect.js:348-351`)."""
+        env = self.scene.environment
+        if env is None:
+            return None
+        from .core.envmap import EquirectEnv, build_equirect_env
+
+        if isinstance(env, EquirectEnv):
+            return env
+        key = id(env)
+        if self._env_cache_key != key or self._env_built is None:
+            arr = np.asarray(env, np.float32)
+            if arr.ndim == 4 and arr.shape[0] == 6:
+                from .core.envmap import cube_to_equirect
+
+                s = arr.shape[1]
+                arr = np.asarray(cube_to_equirect(
+                    jnp.asarray(arr), 2 * s, 4 * s))
+            self._env_built = build_equirect_env(arr)
+            self._env_cache_key = key
+            self.reset()
+        return self._env_built
 
     def set_size(self, width: int, height: int):
         """Resize the frame (``EffectComposer.setSize`` /
@@ -475,9 +516,9 @@ class EffectComposer:
         def fused_stage(ubuf, gbuffer, velocity, last_velocity,
                         scene_color, state, env, gi_gbuffer=None):
             # whole effect chain in ONE program: same math as the staged
-            # path, but a single host dispatch per frame (the loop is
-            # host-dispatch-bound at ~1 ms; each saved dispatch is real
-            # frame time). XLA additionally fuses pointwise stages.
+            # path, but a single host dispatch per frame (fewer dispatch
+            # round-trips, and XLA additionally fuses pointwise stages
+            # across effect boundaries)
             ctx = FrameContext(
                 gbuffer=gbuffer,
                 velocity=velocity,
@@ -637,7 +678,7 @@ class EffectComposer:
             self.last_timings = {}
             ubuf.block_until_ready()
             t_last = time.perf_counter()
-        env = self.scene.environment
+        env = self._resolve_environment()
         if (external is None and self.fuse_raster and self.fuse_effects
                 and not timing and self.effects):
             # single-dispatch frame: raster + effects in one program

@@ -38,6 +38,12 @@ class EquirectEnv:
     marginal: jnp.ndarray
     conditional: jnp.ndarray
     total_sum: jnp.ndarray  # scalar luminance sum
+    #: (Hc, Wc, 4) f16 precomposed inverse-CDF table [u, v, lum, 0]
+    #: indexed by (noise.y along width, noise.x along height): collapses
+    #: the marginal -> conditional -> color lum fetch chain (3 priced
+    #: gathers) into ONE f16 quad-packed gather for the sweep trace
+    #: (see :func:`sample_equirect_probability` fast path)
+    cdf_packed: jnp.ndarray | None = None
 
     @property
     def map(self) -> jnp.ndarray:
@@ -71,14 +77,17 @@ def equirect_uv_to_direction(uv: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def sample_equirect_color(env: EquirectEnv, direction: jnp.ndarray, lod) -> jnp.ndarray:
+def sample_equirect_color(env: EquirectEnv, direction: jnp.ndarray, lod,
+                          quantize: bool = False) -> jnp.ndarray:
     """``sampleEquirectEnvMapColor`` (`ssgi_utils.frag:90-92`) with mips.
 
     Uses the flat mip atlas: per-pixel lod is index arithmetic + gathers
-    from one table (the layout-friendly pattern on TPU).
+    from one table (the layout-friendly pattern on TPU). ``quantize``
+    rounds a traced per-pixel lod to the nearest mip (one gather instead
+    of the trilinear pair) — the sweep trace's TPU-native choice.
     """
     uv = direction_to_equirect_uv(direction)
-    return sample_mip_atlas(env.atlas, uv, lod)
+    return sample_mip_atlas(env.atlas, uv, lod, quantize=quantize)
 
 
 def equirect_direction_pdf(direction: jnp.ndarray) -> jnp.ndarray:
@@ -89,13 +98,29 @@ def equirect_direction_pdf(direction: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(sin_theta == 0.0, 0.0, pdf)
 
 
-def sample_equirect_probability(env: EquirectEnv, noise2: jnp.ndarray):
+def sample_equirect_probability(env: EquirectEnv, noise2: jnp.ndarray,
+                                fast: bool = False):
     """Importance-sample the env CDF (`ssgi_utils.frag:210-225`).
 
     ``noise2``: (..., 2) uniforms. Returns (pdf, direction) where pdf is
     ``width*height * lum/totalSum`` exactly like the reference.
+
+    ``fast=True`` reads the precomposed ``cdf_packed`` table instead of
+    chaining marginal -> conditional -> color fetches: ONE f16 gather
+    instead of three (the TPU prices gathers per index, CLAUDE.md rule
+    2b). The composition is sampled on a dense noise grid at build time,
+    so (u, v, lum) are bilinear-in-noise approximations of the exact
+    chain; f16 quantizes directions by ~5e-4 — both far below the sweep
+    trace's pi/dirs direction binning, which is the only consumer.
     """
     h, w = env.size
+    if fast and env.cdf_packed is not None:
+        t = sample_bilinear(env.cdf_packed, jnp.stack(
+            [noise2[..., 1], noise2[..., 0]], axis=-1))
+        uv = t[..., 0:2]
+        direction = equirect_uv_to_direction(uv)
+        pdf = t[..., 2] / env.total_sum
+        return (w * h) * pdf, direction
     # marginal: 1D lookup by noise.x  -> row v in [0,1]
     v = sample_bilinear(env.marginal[:, None], jnp.stack(
         [jnp.zeros_like(noise2[..., 0]), noise2[..., 0]], axis=-1))
@@ -116,6 +141,63 @@ def sample_equirect_probability(env: EquirectEnv, noise2: jnp.ndarray):
 def _binary_search_rows(cdf: np.ndarray, targets: np.ndarray) -> np.ndarray:
     """Vectorized equivalent of ``binarySearchFindClosestIndexOf``."""
     return np.searchsorted(cdf, targets, side="left")
+
+
+def _np_bilinear(tex: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Host bilinear with the same clamp-to-edge semantics as
+    core.sampling.sample_bilinear (x/y in texel units, already -0.5)."""
+    h, w = tex.shape[:2]
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = np.where(x0 < 0.0, 0.0, x - x0)
+    fy = np.where(y0 < 0.0, 0.0, y - y0)
+    xi = np.clip(x0.astype(np.int64), 0, w - 1)
+    yi = np.clip(y0.astype(np.int64), 0, h - 1)
+    xj = np.clip(xi + 1, 0, w - 1)
+    yj = np.clip(yi + 1, 0, h - 1)
+    if tex.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    top = tex[yi, xi] + (tex[yi, xj] - tex[yi, xi]) * fx
+    bot = tex[yj, xi] + (tex[yj, xj] - tex[yj, xi]) * fx
+    return top + (bot - top) * fy
+
+
+def _build_cdf_packed(data: np.ndarray, marginal: np.ndarray,
+                      conditional: np.ndarray, total: float) -> jnp.ndarray:
+    """Precompose the inverse-CDF fetch chain onto a dense noise grid.
+
+    Rows index noise.x (the marginal lookup), columns noise.y (the
+    conditional lookup); each cell carries [u, v, lum] evaluated with the
+    exact bilinear semantics of the runtime chain, so a runtime bilinear
+    fetch of this table reproduces the chain up to grid interpolation.
+    """
+    h, w = conditional.shape
+    hc = int(min(max(4 * h, 64), 1024))
+    wc = int(min(max(2 * w, 64), 1024))
+    nx = (np.arange(hc, dtype=np.float64) + 0.5) / hc
+    ny = (np.arange(wc, dtype=np.float64) + 0.5) / wc
+    # v = linear 1-D interp of marginal at noise.x (same clamp semantics)
+    ym = nx * h - 0.5
+    y0m = np.floor(ym)
+    fym = np.where(y0m < 0.0, 0.0, ym - y0m)
+    yim = np.clip(y0m.astype(np.int64), 0, h - 1)
+    yjm = np.clip(yim + 1, 0, h - 1)
+    marg = marginal.astype(np.float64)
+    v = marg[yim] + (marg[yjm] - marg[yim]) * fym
+    # u = bilinear of conditional at (noise.y, v)
+    vy = np.broadcast_to(v[:, None], (hc, wc)) * h - 0.5
+    uxx = np.broadcast_to(ny[None, :], (hc, wc)) * w - 0.5
+    u = _np_bilinear(conditional.astype(np.float64), uxx, vy)
+    # lum at the sampled (u, v)
+    col = _np_bilinear(data.astype(np.float64), u * w - 0.5,
+                       np.broadcast_to(v[:, None], (hc, wc)) * h - 0.5)
+    lum = 0.2125 * col[..., 0] + 0.7154 * col[..., 1] + 0.0721 * col[..., 2]
+    packed = np.stack(
+        [u, np.broadcast_to(v[:, None], (hc, wc)), lum,
+         np.zeros_like(u)], axis=-1,
+    )
+    return jnp.asarray(packed.astype(np.float16))
 
 
 def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> EquirectEnv:
@@ -149,6 +231,8 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
             marginal=jnp.asarray(marginal),
             conditional=jnp.asarray(conditional),
             total_sum=jnp.asarray(total, jnp.float32),
+            cdf_packed=_build_cdf_packed(
+                data, np.asarray(marginal), np.asarray(conditional), total),
         )
 
     lum = (
@@ -187,6 +271,7 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
         marginal=jnp.asarray(marginal),
         conditional=jnp.asarray(conditional),
         total_sum=jnp.asarray(total, jnp.float32),
+        cdf_packed=_build_cdf_packed(data, marginal, conditional, total),
     )
 
 

@@ -317,12 +317,16 @@ def _atlas_bilinear(atlas: MipAtlas, uv: jnp.ndarray, l: jnp.ndarray):
     return top + (bot - top) * fy
 
 
-def sample_mip_atlas(atlas: MipAtlas, uv: jnp.ndarray, lod) -> jnp.ndarray:
+def sample_mip_atlas(atlas: MipAtlas, uv: jnp.ndarray, lod,
+                     quantize: bool = False) -> jnp.ndarray:
     """Trilinear fetch at per-pixel fractional ``lod`` from the atlas.
 
     A static integer ``lod`` (e.g. the background fetch at lod 0) takes
     a single-level path: one bilinear tap instead of the two-level
-    blend, numerically identical (the second level's weight is 0)."""
+    blend, numerically identical (the second level's weight is 0).
+    ``quantize=True`` rounds a traced per-pixel lod to the nearest mip:
+    ONE priced gather instead of the trilinear pair (per-level selection
+    is where-chain arithmetic either way)."""
     if isinstance(lod, (int, float)) and float(lod) == int(lod):
         lvl = int(min(max(int(lod), 0), atlas.levels - 1))
         return _atlas_bilinear(
@@ -332,6 +336,8 @@ def sample_mip_atlas(atlas: MipAtlas, uv: jnp.ndarray, lod) -> jnp.ndarray:
         jnp.broadcast_to(jnp.asarray(lod, jnp.float32), uv.shape[:-1]),
         0.0, atlas.levels - 1,
     )
+    if quantize:
+        return _atlas_bilinear(atlas, uv, jnp.round(lod))
     l0 = jnp.floor(lod)
     frac = (lod - l0)[..., None]
     a = _atlas_bilinear(atlas, uv, l0)

@@ -26,8 +26,14 @@ from .base import Effect
 class MotionBlurEffect(Effect):
     name = "motion_blur"
 
+    #: ``mode`` default is "sweep" — the TPU-native direction-binned roll
+    #: integral (gather-free; the configuration every benched number
+    #: describes). "taps" is the reference's exact jittered per-pixel
+    #: gather integral (`motion_blur.frag:23-42`), kept for the parity
+    #: fixtures (each executed full-res gather costs ~14-19 ms at 1080p
+    #: on the target TPU, CLAUDE.md rule 2b).
     def __init__(self, intensity: float = 1.0, jitter: float = 1.0,
-                 samples: int = 16, mode: str = "taps",
+                 samples: int = 16, mode: str = "sweep",
                  sweep_dirs: int = 16, sweep_steps: int = 12):
         if mode not in ("taps", "sweep"):
             raise ValueError("mode must be 'taps' or 'sweep'")

@@ -88,7 +88,7 @@ class SSGIEffect(Effect):
                  preset: str | None = None,
                  selection: str = "mask",
                  output_texture: str | None = None,
-                 trace: str = "march", sweep_dirs: int = 16,
+                 trace: str = "sweep", sweep_dirs: int = 16,
                  sweep_steps: int = 32):
         if preset is not None:
             p = SSGI_PRESETS[preset]

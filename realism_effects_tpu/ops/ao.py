@@ -60,6 +60,22 @@ class AOConfig:
     animated_noise: bool = True
     #: use G-buffer normals instead of depth-derived ones
     use_normal_texture: bool = True
+    #: vertical half-window (rows) for the Pallas window-warp depth taps
+    #: (see USE_WINDOW_WARP below); horizontal reach is +-127 px
+    window_ky: int = 32
+
+
+#: route HBAO's per-sample depth fetches through the multi-target Pallas
+#: window kernel (ops/pallas/warp.py) instead of 8 priced XLA gathers
+#: (~19 ms each at 1080p, CLAUDE.md rule 2b). Taps whose screen
+#: displacement exceeds the window sample the window-clamped position —
+#: i.e. the sampling radius is clamped in screen space, the same
+#: radius-clamping real-time HBAO implementations apply deliberately
+#: (and the reference's own taps clamp at the frame border,
+#: `hbao.frag:107` clamp-to-edge). Bounded-displacement results are
+#: bit-identical to the gather path; the transliteration parity fixture
+#: (tests/test_ao_parity.py) pins the gather path explicitly.
+USE_WINDOW_WARP = True
 
 
 def depth_world_normals(depth: jnp.ndarray, cam) -> jnp.ndarray:
@@ -177,8 +193,8 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
     cam_pos = cam.position
     proj_view = cam.projection_view_matrix
 
-    ao = jnp.zeros((h, w), jnp.float32)
-    total_weight = jnp.zeros((h, w), jnp.float32)
+    # per-sample directions / positions / uvs (elementwise; XLA fuses)
+    dirs_pos_uv = []
     for i in range(cfg.spp):
         # the reference advances its frame counter BY spp per frame
         # (`AOPass.js:86-88`) so per-sample seeds never collide across
@@ -194,9 +210,29 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
         clip, cw = math3d.transform_point_nodiv(proj_view, sample_pos)
         safe_w = jnp.where(jnp.abs(cw) > 1e-8, cw, 1e-8)
         sample_uv = clip[..., :2] / safe_w[..., None] * 0.5 + 0.5
-        # NEAREST: composer depth texture (`hbao.frag:107` fetch;
-        # three.js DepthTexture defaults, bound at `AOEffect.js:44`)
-        sample_depth = sample_nearest(depth, sample_uv)
+        dirs_pos_uv.append((sample_dir, sample_pos, sample_uv))
+
+    # NEAREST: composer depth texture (`hbao.frag:107` fetch; three.js
+    # DepthTexture defaults, bound at `AOEffect.js:44`) — all spp taps
+    # resolved by ONE multi-target window kernel (see USE_WINDOW_WARP)
+    if USE_WINDOW_WARP:
+        from .pallas.warp import nearest_window_multi
+
+        uvs = jnp.stack([uv_ for _, _, uv_ in dirs_pos_uv], axis=0)
+        sample_depths, _ = nearest_window_multi(
+            depth, uvs, ky=cfg.window_ky
+        )
+    else:
+        sample_depths = None
+
+    ao = jnp.zeros((h, w), jnp.float32)
+    total_weight = jnp.zeros((h, w), jnp.float32)
+    for i in range(cfg.spp):
+        sample_dir, sample_pos, sample_uv = dirs_pos_uv[i]
+        sample_depth = (
+            sample_depths[i] if sample_depths is not None
+            else sample_nearest(depth, sample_uv)
+        )
 
         delta_depth = depth - sample_depth
         d = jnp.linalg.norm(sample_pos - cam_pos, axis=-1)

@@ -26,8 +26,14 @@ reprojections, `reproject.frag:130-167`).
 Modes:
 - ``nearest``:  tex[ty, tx]             (texelFetch / NearestFilter)
 - ``bilinear``: 2x2 footprint at (ty + fy, tx + fx)  (LinearFilter)
-- ``catrom``:   the reference's 5-tap Catmull-Rom history filter
-  (`reproject.frag:212-255`) evaluated on the true 4x4 footprint.
+- ``catrom``:   Catmull-Rom on the true 4x4 footprint.
+- ``catrom5``:  the reference's EXACT 5-tap Catmull-Rom history filter
+  (`reproject.frag:212-255`): its five bilinear taps expand to the 4x4
+  footprint with the four corner texels' weights zeroed (the middle
+  2x2 collapses into the shared center tap), so this mode reproduces
+  `core.sampling.sample_catmull_rom_5tap` bit-for-bit modulo f32
+  reassociation. Callers normalize by the 5-tap weight total
+  ``1 - (w0x+w3x)(w0y+w3y)`` (see :func:`catmull_rom5_window`).
 
 Filter-tap neighbors are clamped to the frame (GL clamp-to-edge) AND
 to the window (so a +-127 horizontal target's outer tap reuses the
@@ -50,8 +56,12 @@ from .stencil import _use_interpret
 BC = 128          # lane-group width: within-vreg gather operates mod 128
 _DEF_KY = 8       # default vertical window (+-ky rows)
 
-_BAND_OFF = {"nearest": (0,), "bilinear": (0, 1), "catrom": (-1, 0, 1, 2)}
+_BAND_OFF = {"nearest": (0,), "bilinear": (0, 1), "catrom": (-1, 0, 1, 2),
+             "catrom5": (-1, 0, 1, 2)}
 _TAP_OFF = _BAND_OFF  # horizontal taps mirror the vertical bands per mode
+#: catrom5: bands at the vertical extremes only read the middle taps
+#: (the reference's edge taps sample0/sample2 sit on the tc12 column)
+_C5_OUTER = (0, 3)
 
 
 def _choose_br(ky: int) -> int:
@@ -133,7 +143,7 @@ def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
         fy = fy_ref[...]
         wx = (1.0 - fx, fx)
         wy = (1.0 - fy, fy)
-    else:
+    else:  # catrom / catrom5
         wx = _crw(fx_ref[...])
         wy = _crw(fy_ref[...])
 
@@ -159,14 +169,25 @@ def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
             row_v = slab[br + v: br + v + br]   # static slice (br, 3*BC)
             if mode == "nearest":
                 hrow = gather_h(row_v, *taps[0])
+                hrow_mid = None
             else:
+                gs = [gather_h(row_v, *taps[k]) for k in range(len(taps))]
                 hrow = None
                 for k in range(len(taps)):
-                    g = gather_h(row_v, *taps[k]) * wx[k]
+                    g = gs[k] * wx[k]
                     hrow = g if hrow is None else hrow + g
+                hrow_mid = (
+                    gs[1] * wx[1] + gs[2] * wx[2]
+                    if mode == "catrom5" else None
+                )
             for b in range(len(band_off)):
                 sel = dyv[b] == v
-                contrib = hrow if mode == "nearest" else hrow * wy[b]
+                if mode == "nearest":
+                    contrib = hrow
+                elif mode == "catrom5" and b in _C5_OUTER:
+                    contrib = hrow_mid * wy[b]
+                else:
+                    contrib = hrow * wy[b]
                 acc = jnp.where(sel, acc + contrib, acc)
         val_ref[cidx] = acc
     flag_ref[0] = in_window.astype(jnp.float32)
@@ -188,9 +209,11 @@ def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
                 fx: jnp.ndarray | None = None,
                 ky: int = _DEF_KY, mode: str = "nearest"):
     """Fetch ``tex`` at per-pixel integer target (ty, tx) (+ fraction for
-    filtered modes). Targets are clamped into the frame, then into the
-    window (+-ky rows, +-127 cols); the returned flag marks targets that
-    were inside the window before clamping.
+    filtered modes). Each filter tap is clamped into the frame
+    (GL clamp-to-edge — so out-of-frame targets reproduce a clamped
+    texture fetch exactly, like the reference's border reads), and the
+    displacement is clamped into the window (+-ky rows, +-127 cols); the
+    returned flag marks targets whose displacement was inside the window.
 
     tex: (H, W) or (H, W, C<=8) f32. ty/tx: (H, W) int32. fy/fx: (H, W)
     f32 fractions in [0, 1) for bilinear/catrom.
@@ -207,8 +230,11 @@ def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
     nr, nc = hp // br, wp // BC
 
     pad2 = lambda a: _pad_hw(a, br, BC)
-    ty_p = pad2(jnp.clip(ty, 0, h - 1))
-    tx_p = pad2(jnp.clip(tx, 0, w - 1))
+    # keep raw (possibly out-of-frame) targets so per-tap frame clamping
+    # reproduces GL border reads; bound them only against int overflow
+    lim = 1 << 20
+    ty_p = pad2(jnp.clip(ty, -lim, lim))
+    tx_p = pad2(jnp.clip(tx, -lim, lim))
     zero = jnp.zeros((hp, wp), jnp.float32)
     fy_p = pad2(fy) if fy is not None else zero
     fx_p = pad2(fx) if fx is not None else zero
@@ -241,22 +267,150 @@ def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# multi-target variant: N nearest fetches sharing one slab assembly
+# --------------------------------------------------------------------------
+
+def _warp_multi_kernel(ty_ref, tx_ref, *refs, ky: int, c: int, h: int,
+                       w: int, n: int):
+    """Grid (NR, NC). ty/tx: (n, br, BC). refs: 9 halo blocks of the
+    planar (C, H', W') texture, then (val (n*c, br, BC), flag (n, br, BC)).
+    Nearest mode only; the slab is assembled once per channel and reused
+    by every target — the whole point vs n separate window_warp calls."""
+    srcs = refs[:9]
+    val_ref, flag_ref = refs[9], refs[10]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    br = ty_ref.shape[1]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (br, BC), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (br, BC), 1)
+    rr = i * br + ii
+    cc = j * BC + jj
+
+    # per-target lane addresses + vertical candidates (channel-invariant)
+    tgt = []
+    for t in range(n):
+        ty = ty_ref[t]
+        tx = tx_ref[t]
+        dy = ty - rr
+        dx = tx - cc
+        in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= BC - 1)
+        dyv = jnp.clip(jnp.clip(jnp.clip(dy, -ky, ky), -rr, (h - 1) - rr),
+                       -ky, ky)
+        dxk = jnp.clip(jnp.clip(tx, 0, w - 1) - cc, -(BC - 1), BC - 1)
+        txa = jj + dxk + BC
+        tgt.append((dyv, txa // BC - 1, txa % BC))
+        flag_ref[t] = in_window.astype(jnp.float32)
+
+    def gather_h(slab_row, lq, lr):
+        out = None
+        for d in (-1, 0, 1):
+            grp = slab_row[:, BC * (1 + d): BC * (1 + d) + BC]
+            g = jnp.take_along_axis(grp, lr, axis=1)
+            out = g if out is None else jnp.where(lq == d, g, out)
+        return out
+
+    for cidx in range(c):
+        rows3 = [
+            jnp.concatenate([srcs[3 * r + cg][cidx] for cg in range(3)],
+                            axis=1)
+            for r in range(3)
+        ]
+        slab = jnp.concatenate(rows3, axis=0)   # (3*br, 3*BC)
+        accs = [jnp.zeros((br, BC), jnp.float32) for _ in range(n)]
+        for v in range(-ky, ky + 1):
+            row_v = slab[br + v: br + v + br]
+            for t in range(n):
+                dyv, lq, lr = tgt[t]
+                g = gather_h(row_v, lq, lr)
+                accs[t] = jnp.where(dyv == v, g, accs[t])
+        for t in range(n):
+            val_ref[t * c + cidx] = accs[t]
+
+
+def window_warp_multi(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
+                      ky: int = _DEF_KY):
+    """N nearest window fetches from one texture, slab loads shared.
+
+    tex: (H, W) or (H, W, C<=8) f32. ty/tx: (N, H, W) int32 targets.
+    Per-tap frame clamp then window clamp like :func:`window_warp`.
+    Returns (values (N, H, W[, C]), in_window (N, H, W) bool)."""
+    squeeze = tex.ndim == 2
+    base = tex[..., None] if squeeze else tex
+    h, w = base.shape[0], base.shape[1]
+    c = base.shape[2]
+    n = ty.shape[0]
+    br = max(32, min(128, 8 * -(-(ky + 8) // 8)))
+
+    planar = _pad_hw(jnp.moveaxis(base, -1, 0), br, BC)
+    hp, wp = planar.shape[1], planar.shape[2]
+    nr, nc = hp // br, wp // BC
+
+    lim = 1 << 20
+    pad3 = lambda a: _pad_hw(jnp.clip(a, -lim, lim), br, BC)
+    ty_p = pad3(ty)
+    tx_p = pad3(tx)
+
+    def mk(dr, dc):
+        def im(i, j, dr=dr, dc=dc):
+            return (0, jnp.clip(i + dr, 0, nr - 1), jnp.clip(j + dc, 0, nc - 1))
+        return pl.BlockSpec((c, br, BC), im, memory_space=pltpu.VMEM)
+
+    idx_spec = pl.BlockSpec((n, br, BC), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    halo = [mk(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    kern = functools.partial(_warp_multi_kernel, ky=ky, c=c, h=h, w=w, n=n)
+    val, flag = pl.pallas_call(
+        kern,
+        grid=(nr, nc),
+        in_specs=[idx_spec, idx_spec] + halo,
+        out_specs=(
+            pl.BlockSpec((n * c, br, BC), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, br, BC), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n * c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(ty_p, tx_p, *([planar] * 9))
+    val = val[:, :h, :w].reshape(n, c, h, w)
+    val = jnp.moveaxis(val, 1, -1)
+    flag = flag[:, :h, :w] > 0.5
+    if squeeze:
+        val = val[..., 0]
+    return val, flag
+
+
+def nearest_window_multi(tex: jnp.ndarray, uvs: jnp.ndarray,
+                         ky: int = _DEF_KY):
+    """N nearest fetches at ``uvs`` (N, H, W, 2) via the multi-target
+    kernel. Returns (values (N, H, W[, C]), in_window (N, H, W))."""
+    h, w = tex.shape[0], tex.shape[1]
+    ix = jnp.floor(uvs[..., 0] * w).astype(jnp.int32)
+    iy = jnp.floor(uvs[..., 1] * h).astype(jnp.int32)
+    return window_warp_multi(tex, iy, ix, ky=ky)
+
+
+# --------------------------------------------------------------------------
 # jnp reference (test oracle; also documents the exact semantics)
 # --------------------------------------------------------------------------
 
 def window_warp_ref(tex, ty, tx, fy=None, fx=None, ky=_DEF_KY,
                     mode="nearest"):
-    """Gather-based reference with identical semantics (frame clamp, then
-    window clamp, per tap; in_window flag from the unclamped target)."""
+    """Gather-based reference with identical semantics (per-tap frame
+    clamp, then window clamp; in_window flag from the raw displacement)."""
     squeeze = tex.ndim == 2
     base = tex[..., None] if squeeze else tex
     h, w = base.shape[0], base.shape[1]
     ys = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones_like(ty)
     xs = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones_like(tx)
-    tyc = jnp.clip(ty, 0, h - 1)
-    txc = jnp.clip(tx, 0, w - 1)
-    dy = tyc - ys
-    dx = txc - xs
+    dy = ty - ys
+    dx = tx - xs
     in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= BC - 1)
     dyc = jnp.clip(dy, -ky, ky)
 
@@ -265,7 +419,7 @@ def window_warp_ref(tex, ty, tx, fy=None, fx=None, ky=_DEF_KY,
                              -ky + bo_min, ky + bo_max)
 
     def col_at(k):
-        dxk = jnp.clip(jnp.clip(txc + k, 0, w - 1) - xs, -(BC - 1), BC - 1)
+        dxk = jnp.clip(jnp.clip(tx + k, 0, w - 1) - xs, -(BC - 1), BC - 1)
         return xs + dxk
 
     band_off = _BAND_OFF[mode]
@@ -287,6 +441,8 @@ def window_warp_ref(tex, ty, tx, fy=None, fx=None, ky=_DEF_KY,
         row = 0.0
         yb = row_at(bo)
         for k, ko in enumerate(tap_off):
+            if mode == "catrom5" and b in _C5_OUTER and k in (0, 3):
+                continue  # corner texels carry zero weight in the 5-tap
             row = row + base[yb, col_at(ko)] * expand(wx[k])
         out = out + row * expand(wy[b])
     if squeeze:
@@ -314,6 +470,35 @@ def catmull_rom_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
         fy=(y - y0), fx=(x - x0), ky=ky, mode="catrom",
     )
     return jnp.maximum(val, 0.0), ok
+
+
+def catmull_rom5_window(tex: jnp.ndarray, uv: jnp.ndarray,
+                        ky: int = _DEF_KY, half: bool = True):
+    """EXACT `sample_catmull_rom_5tap` semantics via the window kernel
+    (`reproject.frag:212-255`): corner-zeroed 4x4 footprint, normalized
+    by the 5-tap weight total, clamped >= 0. ``half=True`` quantizes the
+    texture to f16 first — the history is an rgba16f render target
+    (`TemporalReprojectPass.js:141-144`) and the gather path samples that
+    storage. Returns (rgba, in_window flag)."""
+    if half:
+        tex = tex.astype(jnp.float16).astype(jnp.float32)
+    h, w = tex.shape[0], tex.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    val, ok = window_warp(
+        tex, y0.astype(jnp.int32), x0.astype(jnp.int32),
+        fy=fy, fx=fx, ky=ky, mode="catrom5",
+    )
+    w0x, _, _, w3x = _crw(fx)
+    w0y, _, _, w3y = _crw(fy)
+    total = 1.0 - (w0x + w3x) * (w0y + w3y)
+    if tex.ndim == 3:
+        total = total[..., None]
+    return jnp.maximum(val / total, 0.0), ok
 
 
 def bilinear_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):

@@ -34,6 +34,13 @@ from ..core.sampling import sample_bilinear, sample_nearest
 
 EPS = 1e-5
 
+#: route the sweep trace's radiance feedback through the prewarped-
+#: accumulated window kernel (see the prewarp block in :func:`ssgi`);
+#: False falls back to the reference's velocity-then-radiance gather
+#: chain (used by the gather-budget fixture, where interpret-mode Pallas
+#: would pollute the HLO gather census).
+USE_WINDOW_WARP = True
+
 
 @dataclasses.dataclass(frozen=True)
 class SSGIConfig:
@@ -43,18 +50,23 @@ class SSGIConfig:
     mode: str = "ssgi"               # "ssgi" | "ssr"
     steps: int = 20
     refine_steps: int = 5
-    #: trace discretization: "march" = the reference's per-pixel gather
-    #: march (exact semantics, ~14 ms/step at 1080p on the target TPU);
-    #: "sweep" = direction-binned roll sweep (`ops/ssgi_sweep.py`),
-    #: gather-free, same hit law, snap noise integrated temporally
-    trace: str = "march"
+    #: trace discretization: "sweep" (default — the TPU-native
+    #: direction-binned roll sweep, `ops/ssgi_sweep.py`: gather-free,
+    #: same hit law, snap noise integrated temporally; the configuration
+    #: every benched number describes); "march" = the reference's exact
+    #: per-pixel gather march (`ssgi.frag:441-503`), kept for the
+    #: transliteration parity fixtures — each executed full-res gather
+    #: costs ~14-19 ms at 1080p on the target TPU (CLAUDE.md rule 2b)
+    trace: str = "sweep"
     sweep_dirs: int = 16             # direction bins (sweep trace)
     sweep_steps: int = 32            # radii per bin (sweep trace)
     missed_rays: bool = False
     importance_sampling: bool = True
     env_lum_clamp: bool = True
-    #: add the direct-light texture to both GI outputs (`ssgi.frag:267-272`)
-    use_direct_light: bool = False
+    #: add the direct-light texture to both GI outputs
+    #: (`ssgi.frag:267-272`); ON to match the reference render-pass path
+    #: (`SSGIEffect.js:29,144-148`) and the SSGIEffect layer's default
+    use_direct_light: bool = True
     #: box-projected env parallax correction (`ssgi_utils.frag:40-57`):
     #: ((sx, sy, sz), (px, py, pz)) or None
     env_box: tuple | None = None
@@ -143,7 +155,11 @@ def _get_env_color(env: EquirectEnv | None, l_view, view_matrix, roughness,
                    is_diffuse, is_env_sample, env_blur, cfg: SSGIConfig,
                    world_pos=None):
     """`ssgi.frag:311-346`: equirect fetch with roughness-scaled mip and
-    luminance clamping; optional box-projected parallax correction."""
+    luminance clamping; optional box-projected parallax correction.
+
+    The sweep trace quantizes the per-pixel lod to the nearest mip (one
+    priced gather instead of the trilinear pair; the temporal filter
+    integrates across the per-frame-stochastic ray directions anyway)."""
     if env is None:
         return jnp.zeros(l_view.shape[:-1] + (3,), jnp.float32)
     reflected_ws = normalize(transform_dir_transpose(view_matrix, l_view))
@@ -154,7 +170,8 @@ def _get_env_color(env: EquirectEnv | None, l_view, view_matrix, roughness,
     mip_scale = jnp.where(
         (~is_diffuse) & (roughness < 0.15), roughness / 0.15, 1.0
     )
-    sample = sample_equirect_color(env, reflected_ws, mip * mip_scale)
+    sample = sample_equirect_color(env, reflected_ws, mip * mip_scale,
+                                   quantize=cfg.trace == "sweep")
     if cfg.env_lum_clamp:
         max_env_lum = jnp.where(is_env_sample, 100.0, 25.0)
         env_lum = luminance(sample)
@@ -253,7 +270,7 @@ def ssgi(
     env_mis_dir = jnp.zeros((h, w, 3), jnp.float32)
     if cfg.importance_sampling and env is not None:
         env_pdf, env_dir_ws = sample_equirect_probability(
-            env, jnp.stack([r1, r2], axis=-1)
+            env, jnp.stack([r1, r2], axis=-1), fast=cfg.trace == "sweep"
         )
         env_mis_dir = normalize(
             transform_dir_transpose(cam.camera_matrix_world, env_dir_ws)
@@ -284,8 +301,33 @@ def ssgi(
             ray_distance, dirs=cfg.sweep_dirs, steps=cfg.sweep_steps,
         )
         traced = {id(r): t for r, t in zip(sweep_rays, sweep_traces)}
+
+        # Prewarped accumulated radiance: A'(q) = acc(q - vel(q)), built
+        # once by a bounded window-warp (velocity is a few px/frame), so
+        # each ray's radiance fetch at its hit point needs ONE gather of
+        # A' instead of a velocity gather + a reprojected radiance gather
+        # (`ssgi.frag:380-388` fetches velocity then accumulatedTexture).
+        # Deviation vs the gather chain: the bilinear mixes 4 texels each
+        # prewarped with its own velocity (PARITY.md; march stays exact).
+        if USE_WINDOW_WARP:
+            from .pallas.warp import bilinear_window
+
+            acc16 = accumulated[..., :3].astype(
+                jnp.float16).astype(jnp.float32)
+            pre_uv = uv - velocity.velocity
+            warped_acc, in_win = bilinear_window(acc16, pre_uv, ky=8)
+            pre_ok = (
+                (pre_uv[..., 0] >= 0.0) & (pre_uv[..., 0] <= 1.0)
+                & (pre_uv[..., 1] >= 0.0) & (pre_uv[..., 1] <= 1.0) & in_win
+            )
+            prewarped = jnp.concatenate(
+                [warped_acc, pre_ok.astype(jnp.float32)[..., None]], axis=-1
+            ).astype(jnp.float16)
+        else:
+            prewarped = None
     else:
         traced = None
+        prewarped = None
 
     def do_sample(l, is_diffuse_mask):
         """`ssgi.frag:362-439` for one ray direction."""
@@ -318,16 +360,25 @@ def ssgi(
         )
 
         # reproject hit into last frame's accumulated radiance
-        # velocity target is NearestFilter (`VelocityDepthNormalPass.js:79-80`)
-        vel_at_hit = sample_nearest(velocity.velocity, coords)
-        reproj_uv = coords - vel_at_hit
-        in_bounds = (
-            (reproj_uv[..., 0] >= 0.0) & (reproj_uv[..., 0] <= 1.0)
-            & (reproj_uv[..., 1] >= 0.0) & (reproj_uv[..., 1] <= 1.0)
-        )
-        # accumulated radiance is an rgba16f LinearFilter target
-        # (`TemporalReprojectPass.js:141-144`): half quad-packed tap
-        reproj_gi = sample_bilinear(accumulated[..., :3], reproj_uv, half=True)
+        if prewarped is not None:
+            # sweep: one f16 quad-packed gather of the prewarped
+            # radiance (+ validity flag channel) at the hit point
+            pw = sample_bilinear(prewarped, coords)
+            reproj_gi = pw[..., :3]
+            in_bounds = pw[..., 3] > 0.5
+        else:
+            # velocity target is NearestFilter
+            # (`VelocityDepthNormalPass.js:79-80`)
+            vel_at_hit = sample_nearest(velocity.velocity, coords)
+            reproj_uv = coords - vel_at_hit
+            in_bounds = (
+                (reproj_uv[..., 0] >= 0.0) & (reproj_uv[..., 0] <= 1.0)
+                & (reproj_uv[..., 1] >= 0.0) & (reproj_uv[..., 1] <= 1.0)
+            )
+            # accumulated radiance is an rgba16f LinearFilter target
+            # (`TemporalReprojectPass.js:141-144`): half quad-packed tap
+            reproj_gi = sample_bilinear(
+                accumulated[..., :3], reproj_uv, half=True)
         sat = _saturation(diffuse)
         desat = (1.0 - roughness) * sat * 0.4
         reproj_gi = mix(

@@ -55,6 +55,13 @@ class TemporalReprojectConfig:
     #: 3x3 closest-depth velocity dilation (the reference's ``dilation``
     #: option, `TemporalReprojectPass.js:17-19`)
     dilation: bool = False
+    #: vertical half-window (rows) for the Pallas window-warp fetches
+    #: (history Catmull-Rom + disocclusion probe); reprojections whose
+    #: vertical displacement exceeds it are treated as disocclusions
+    #: (confidence 0), the same reset the reference applies to
+    #: off-screen reprojections (`reproject.frag:130-167`). Horizontal
+    #: reach is +-127 px regardless.
+    window_ky: int = 8
 
 
 def _transform_color(c, cfg):
@@ -82,13 +89,23 @@ def _validate_reprojected_uv(reproj_uv, depth, world_pos, world_normal,
     """Confidence from 3 disocclusion checks (`reproject.frag:130-167`).
 
     ``last_nd_packed``: :func:`_pack_normal_depth` of the previous frame's
-    velocity buffer (one gather per probe)."""
+    velocity buffer (one gather per probe — or a window-warp fetch when
+    ``USE_WINDOW_WARP``, with out-of-window displacements treated as
+    disocclusions)."""
     in_bounds = (
         (reproj_uv[..., 0] >= 0.0) & (reproj_uv[..., 0] <= 1.0)
         & (reproj_uv[..., 1] >= 0.0) & (reproj_uv[..., 1] <= 1.0)
     )
 
-    last_nd = sample_nearest(last_nd_packed, reproj_uv)
+    if USE_WINDOW_WARP:
+        from .pallas.warp import nearest_window
+
+        last_nd, in_win = nearest_window(
+            last_nd_packed, reproj_uv, ky=cfg.window_ky
+        )
+        in_bounds = in_bounds & in_win
+    else:
+        last_nd = sample_nearest(last_nd_packed, reproj_uv)
     last_normal = last_nd[..., :3]
     last_depth = last_nd[..., 3]
     last_world_pos = screen_to_world(
@@ -138,6 +155,16 @@ def _reproject_hit_point(world_pos, ray_length, curvature, cam, prev_cam):
 #: (ops/pallas/stencil.py); the jnp shifted-slice path remains as the
 #: reference implementation and interpret-mode fallback.
 USE_PALLAS_STENCILS = True
+
+#: route the per-pixel reprojection fetches (Catmull-Rom history +
+#: disocclusion probe) through the Pallas bounded-window warp kernel
+#: (ops/pallas/warp.py) instead of priced XLA gathers (~19 ms each at
+#: 1080p, CLAUDE.md rule 2b). In-window results are identical to the
+#: gather path (catrom5 mode reproduces the reference's exact 5-tap
+#: filter); displacements beyond the window become disocclusions.
+#: The gather path remains as the oracle for the transliteration parity
+#: fixtures (tests/test_temporal_parity.py pins it explicitly).
+USE_WINDOW_WARP = True
 
 
 def _neighborhood_minmax(tex, center_raw, radius: int):
@@ -293,8 +320,16 @@ def temporal_reproject(
 
         # --- reproject (`temporal_reproject.frag:83-122`) ------------------
         # history = the rgba16f LinearFilter framebuffer copy
-        # (`TemporalReprojectPass.js:141-144`): half quad-packed taps
-        acc = sample_catmull_rom_5tap(history[i], reproj_uv, half=True)
+        # (`TemporalReprojectPass.js:141-144`): half quad-packed taps —
+        # or ONE window-warp catrom5 fetch (same filter, same storage)
+        if USE_WINDOW_WARP:
+            from .pallas.warp import catmull_rom5_window
+
+            acc, _ = catmull_rom5_window(
+                history[i], reproj_uv, ky=cfg.window_ky
+            )
+        else:
+            acc = sample_catmull_rom_5tap(history[i], reproj_uv, half=True)
         acc_rgb = _transform_color(acc[..., :3], cfg)
         acc_rgb_raw = acc_rgb  # pre-clamp value used when nothing sampled
         acc_a = acc[..., 3] + 1.0

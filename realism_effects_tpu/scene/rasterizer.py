@@ -401,6 +401,41 @@ def _face_edge_coeffs(clip: jnp.ndarray, faces: jnp.ndarray,
     )
 
 
+def _face_attr_coeffs(edge9: jnp.ndarray, attr: jnp.ndarray) -> jnp.ndarray:
+    """Compose per-face edge coefficients with a per-vertex attribute:
+    the screen-space numerator plane of perspective-correct interpolation.
+
+    ``Σ_i e_i(px,py)·a_i`` is linear in (px,py); its three coefficients
+    per attribute channel are per-FACE constants, so baking them into the
+    packed record replaces (edge-coeff chunk + per-vertex attr chunk)
+    with one coeffs chunk: fewer priced per-pixel gathers, identical
+    algebra (the weight normalization Σe either cancels in ratios —
+    velocity ndc — or is carried once as :func:`_face_denominator`).
+
+    edge9: (F, 9) from :func:`_face_edge_coeffs`; attr: (F, 3, C).
+    Returns (F, 3*C): [A, B, C] per channel.
+    """
+    e = edge9.reshape(-1, 3, 3)                    # (F, vertex, ABC)
+    return jnp.einsum("fvk,fvc->fck", e, attr,
+                      precision="highest").reshape(attr.shape[0], -1)
+
+
+def _face_denominator(edge9: jnp.ndarray) -> jnp.ndarray:
+    """(F, 3): coefficients of Σ_i e_i (the weight normalizer)."""
+    return edge9.reshape(-1, 3, 3).sum(axis=1)
+
+
+def _eval_planes(rec: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Evaluate packed [A, B, C]*C linear planes at pixel centers.
+
+    rec: (H, W, 3*C) fetched coefficients -> (H, W, C)."""
+    px = jnp.arange(width, dtype=jnp.float32)[None, :, None] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None, None] + 0.5
+    c = rec.shape[-1] // 3
+    r = rec.reshape(rec.shape[:-1] + (c, 3))
+    return r[..., 0] * px + r[..., 1] * py + r[..., 2]
+
+
 def _pack_face_table(cols) -> list:
     """Pack per-face columns ((F,) or (F, C)) into (F', 128, <=8) chunks
     riding the fast ``tex[y, x]`` gather pattern (flat (N, C) row gathers
@@ -543,19 +578,23 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
     valid = ids >= 0
     # per-face packed record: ONE fetch chain instead of
     # face->vertices->attributes->material per pixel (see the
-    # per-face-records comment block above; values bit-identical)
+    # per-face-records comment block above; values bit-identical).
+    # Interpolated attributes ride as COMPOSED numerator planes
+    # (_face_attr_coeffs) + one shared denominator: 3 chunks untextured
+    # instead of the 4 an (edge coeffs + per-vertex values) layout costs.
     textured = packed.map_atlas.shape[0] > 0
     face_mesh = packed.vert_mesh_id[packed.faces[:, 0]]
     n_mat = packed.materials.shape[1]
+    edge9 = _face_edge_coeffs(clip, packed.faces, height, width)
     cols = [
-        _face_edge_coeffs(clip, packed.faces, height, width),   # 0..8
-        world_nrm[packed.faces].reshape(-1, 9),                 # 9..17
-        face_mesh.astype(jnp.float32),                          # 18
-        packed.materials[face_mesh],                            # 19..19+n_mat
+        _face_attr_coeffs(edge9, world_nrm[packed.faces]),      # 0..8
+        _face_denominator(edge9),                               # 9..11
+        face_mesh.astype(jnp.float32),                          # 12
+        packed.materials[face_mesh],                            # 13..13+n_mat
     ]
     if textured:
-        cols.append(packed.uvs[packed.faces].reshape(-1, 6))
-        cols.append(world_pos[packed.faces].reshape(-1, 9))
+        cols.append(_face_attr_coeffs(edge9, packed.uvs[packed.faces]))
+        cols.append(_face_attr_coeffs(edge9, world_pos[packed.faces]))
         # per-mesh atlas page indices ride the record too (small ints,
         # exact through f32)
         cols.append(jnp.stack([
@@ -564,14 +603,13 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
             packed.ao_map_index[face_mesh],
         ], axis=-1).astype(jnp.float32))
     rec = _fetch_face_table(_pack_face_table(cols), ids)
-    wts = _weights_from_coeffs(rec[..., 0:9], height, width)
-    nv = rec[..., 9:18].reshape(rec.shape[:-1] + (3, 3))
-    nrm = (nv[..., 0, :] * wts[..., 0:1] + nv[..., 1, :] * wts[..., 1:2]
-           + nv[..., 2, :] * wts[..., 2:3])
+    den = _eval_planes(rec[..., 9:12], height, width)[..., 0]
+    inv_den = 1.0 / jnp.where(jnp.abs(den) > 1e-20, den, 1e-20)
+    nrm = _eval_planes(rec[..., 0:9], height, width) * inv_den[..., None]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
-    mesh_id = rec[..., 18].astype(jnp.int32)
-    mat = rec[..., 19:19 + n_mat]          # (H, W, MATERIAL_ROW_SIZE)
+    mesh_id = rec[..., 12].astype(jnp.int32)
+    mat = rec[..., 13:13 + n_mat]          # (H, W, MATERIAL_ROW_SIZE)
     diffuse = mat[..., 0:4]
     emissive = mat[..., 6:9]
 
@@ -581,10 +619,10 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
     if textured:
         # textured materials: perspective-correct uv, repeat wrap, atlas
         # page per mesh (`GBufferMaterial.js:46-96` map sampling)
-        uvv = rec[..., 19 + n_mat: 25 + n_mat]
-        uv = (uvv[..., 0:2] * wts[..., 0:1] + uvv[..., 2:4] * wts[..., 1:2]
-              + uvv[..., 4:6] * wts[..., 2:3])
-        pages = rec[..., 34 + n_mat: 39 + n_mat].astype(jnp.int32)
+        base = 13 + n_mat
+        uv = (_eval_planes(rec[..., base: base + 6], height, width)
+              * inv_den[..., None])
+        pages = rec[..., base + 15: base + 20].astype(jnp.int32)
         m_page, e_page, mr_page, n_page, a_page = (
             pages[..., 0], pages[..., 1], pages[..., 2], pages[..., 3],
             pages[..., 4],
@@ -604,9 +642,8 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
         # tangent-space normal map via screen-derivative tangent frames
         # (three.js getTangentFrame + normal_fragment_maps)
         n_tex = _sample_atlas(packed.map_atlas, jnp.maximum(n_page, 0), uv)
-        wv = rec[..., 19 + n_mat + 6: 19 + n_mat + 15]
-        wpos = (wv[..., 0:3] * wts[..., 0:1] + wv[..., 3:6] * wts[..., 1:2]
-                + wv[..., 6:9] * wts[..., 2:3])
+        wpos = (_eval_planes(rec[..., base + 6: base + 15], height, width)
+                * inv_den[..., None])
         nrm = jnp.where(
             (n_page >= 0)[..., None],
             _perturb_normal(nrm, wpos, uv, n_tex[..., :3], mat[..., 9]),
@@ -670,29 +707,29 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
                                tri_alpha, dither, cnmf, alpha_tex,
                                alpha_peels)
     valid = ids >= 0
-    # per-face packed record (see rasterize_gbuffer): edge coeffs +
-    # current/previous clip corners + normals in one fetch chain
+    # per-face packed record (see rasterize_gbuffer): composed numerator
+    # planes for current/previous clip xyw + normals + denominator in
+    # one 4-chunk fetch chain (the Σe weight normalizer cancels in the
+    # ndc ratios, so velocity needs no denominator of its own)
+    edge9 = _face_edge_coeffs(clip, packed.faces, height, width)
+    xyw = lambda c: c[packed.faces][..., jnp.asarray((0, 1, 3))]
     rec = _fetch_face_table(_pack_face_table([
-        _face_edge_coeffs(clip, packed.faces, height, width),   # 0..8
-        clip[packed.faces].reshape(-1, 12),                     # 9..20
-        prev_clip[packed.faces].reshape(-1, 12),                # 21..32
-        world_nrm[packed.faces].reshape(-1, 9),                 # 33..41
+        _face_attr_coeffs(edge9, xyw(clip)),        # 0..8
+        _face_attr_coeffs(edge9, xyw(prev_clip)),   # 9..17
+        _face_attr_coeffs(edge9, world_nrm[packed.faces]),  # 18..26
+        _face_denominator(edge9),                   # 27..29
     ]), ids)
-    wts = _weights_from_coeffs(rec[..., 0:9], height, width)
-
-    def interp3(base, c):
-        v = rec[..., base: base + 3 * c].reshape(rec.shape[:-1] + (3, c))
-        return (v[..., 0, :] * wts[..., 0:1] + v[..., 1, :] * wts[..., 1:2]
-                + v[..., 2, :] * wts[..., 2:3])
-
-    cur = interp3(9, 4)                    # (H, W, 4)
-    prev = interp3(21, 4)
+    cur = _eval_planes(rec[..., 0:9], height, width)     # (H, W, 3): x y w
+    prev = _eval_planes(rec[..., 9:18], height, width)
     safe = lambda w: jnp.where(jnp.abs(w) > 1e-6, w, 1e-6)
-    cur_ndc = cur[..., :2] / safe(cur[..., 3:4])
-    prev_ndc = prev[..., :2] / safe(prev[..., 3:4])
+    cur_ndc = cur[..., :2] / safe(cur[..., 2:3])
+    prev_ndc = prev[..., :2] / safe(prev[..., 2:3])
     vel = (cur_ndc - prev_ndc) * 0.5       # ndc -> uv units
 
-    nrm = interp3(33, 3)
+    den = _eval_planes(rec[..., 27:30], height, width)[..., 0]
+    nrm = _eval_planes(rec[..., 18:27], height, width) / jnp.where(
+        jnp.abs(den) > 1e-20, den, 1e-20
+    )[..., None]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
     vmask = valid[..., None]

@@ -13,10 +13,22 @@ composer depth target, `AOEffect.js:44`), ao=1 where the shader discards
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from realism_effects_tpu.core.camera import PerspectiveCamera
 from realism_effects_tpu.core.rng import blue_noise_image
+from realism_effects_tpu.ops import ao as ao_mod
 from realism_effects_tpu.ops.ao import VOGEL16, AOConfig, gtao, hbao
+
+
+@pytest.fixture(autouse=True)
+def _pin_gather_path(monkeypatch):
+    """This fixture transliterates the GLSL's unbounded depth taps, so it
+    pins the gather fetch path; the production window-warp path (which
+    clamps tap displacement to the window, a screen-space radius clamp)
+    is pinned equal to it for bounded taps by
+    tests/test_warp.py::test_hbao_window_path_equality."""
+    monkeypatch.setattr(ao_mod, "USE_WINDOW_WARP", False)
 from realism_effects_tpu.scene.geometry import (
     Material, make_box, make_plane, translation,
 )

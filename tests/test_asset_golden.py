@@ -38,8 +38,13 @@ def test_flashbang_full_stack_matches_golden():
     for _ in range(5):
         img = c.render(dt=1 / 60)
     img = np.asarray(img)
-    if os.environ.get("RE_TPU_REGEN_GOLDEN"):
-        np.savez_compressed(FIXTURE, image=img)
+    # f16 storage + early return exactly like test_golden.py (the 2e-2
+    # RMSE tolerance dwarfs f16 quantization ~1e-4)
+    if os.environ.get("RE_TPU_REGEN_GOLDEN") == "1" or not os.path.exists(FIXTURE):
+        os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+        np.savez_compressed(FIXTURE, image=img.astype(np.float16))
+        if os.environ.get("RE_TPU_REGEN_GOLDEN") == "1":
+            return
     golden = np.load(FIXTURE)["image"].astype(np.float32)
     rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
     assert np.isfinite(img).all()

@@ -156,3 +156,41 @@ def test_set_size_rebuilds_and_resets():
     out = np.asarray(c.render())
     assert out.shape == (64, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_environment_auto_build_and_refresh():
+    """The composer's keepEnvMapUpdated analog (`SSGIEffect.js:309-366`):
+    a RAW equirect array assigned to scene.environment is auto-built
+    into the CDF/mip bundle; assigning a different raw map is detected
+    by identity and rebuilds (+ resets history); refresh_environment()
+    forces a rebuild after in-place mutation."""
+    scene = Scene()
+    sky_a = np.asarray(procedural_sky(16, 32))
+    scene.environment = sky_a                    # raw map, no build call
+    scene.add(make_plane(10, Material()))
+    cam = PerspectiveCamera(50, 1, 0.1, 100)
+    cam.set_position(0, 2, 3)
+    cam.look_at((0, 0, 0))
+    c = EffectComposer(scene, cam, 48, 48)
+    c.add_effect(SSGIEffect(steps=4, refine_steps=1))
+    img_a = np.asarray(c.render())
+    assert np.isfinite(img_a).all()
+    key_a = c._env_cache_key
+
+    # new raw map -> auto rebuild + temporal reset
+    scene.environment = sky_a * 4.0
+    img_b = np.asarray(c.render())
+    assert c._env_cache_key != key_a
+    assert np.abs(img_b - img_a).max() > 1e-3
+
+    # in-place mutation is invisible to identity; refresh forces it
+    c.refresh_environment()
+    assert c._env_cache_key is None
+    np.asarray(c.render())
+
+    # cube-face input converts like CubeToEquirectEnvPass
+    from realism_effects_tpu.core.envmap import equirect_to_cube
+    scene.environment = np.asarray(
+        equirect_to_cube(jnp.asarray(sky_a), 8))
+    img_c = np.asarray(c.render())
+    assert np.isfinite(img_c).all()

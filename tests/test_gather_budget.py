@@ -15,6 +15,16 @@ Definitions inside `while` bodies (the ray march) count once even
 though they execute per trip — the budget pins program shape, not
 executed cost; the march trip counts are static config
 (`SSGIConfig.steps`/`refine_steps`).
+
+Round 4 moved the bounded per-pixel fetches (temporal history/probe,
+HBAO taps, SSGI radiance prewarp) into Pallas window-warp kernels
+(ops/pallas/warp.py). On CPU those kernels run in interpret mode, which
+inlines as *thousands* of small HLO gathers that the real TPU lowering
+never emits — so this test pins the HLO of the GATHER fetch path
+(window flags off) and separately asserts the window flags default ON
+(test_window_warp_is_production_default). The TPU-side evidence that
+the window path holds the measured frame cost is the committed bench
+breakdown artifact (BENCH_breakdown_r04.json).
 """
 
 import re
@@ -28,7 +38,7 @@ import realism_effects_tpu as re_tpu
 # not full-resolution per-pixel fetches (or are worth their ~14 ms/frame
 # at 1080p each).
 BUDGETS = {
-    "raster_shade": 24,
+    "raster_shade": 23,
     "ssgi": 28,
     "hbao": 8,
     "motion_blur": 17,
@@ -42,13 +52,45 @@ BUDGETS = {
 # march's defs sit inside a steps×refine loop and execute ~25×, the
 # sweep's all execute once).
 SWEEP_BUDGETS = {
-    "ssgi": 24,
+    "ssgi": 20,
     "motion_blur": 0,
 }
 
 
 def _stage_hlo_texts(width=96, height=64, sweep=False):
-    """Build the flagship composer, capture each stage's compiled HLO."""
+    """Build the flagship composer, capture each stage's compiled HLO
+    (gather fetch path — see module docstring)."""
+    import jax
+
+    from realism_effects_tpu.ops import ao as ao_mod
+    from realism_effects_tpu.ops import ssgi as ssgi_mod
+    from realism_effects_tpu.ops import temporal_reproject as tr_mod
+
+    mods = (ao_mod, tr_mod, ssgi_mod)
+    olds = [m.USE_WINDOW_WARP for m in mods]
+    for m in mods:
+        m.USE_WINDOW_WARP = False
+    try:
+        return _stage_hlo_texts_inner(width, height, sweep)
+    finally:
+        for m, old in zip(mods, olds):
+            m.USE_WINDOW_WARP = old
+
+
+def test_window_warp_is_production_default():
+    """The window-warp fetch paths (whose TPU lowering contains no priced
+    gathers at all) are the shipped defaults; the budgets below fence the
+    shared gather-path program shape."""
+    from realism_effects_tpu.ops import ao as ao_mod
+    from realism_effects_tpu.ops import ssgi as ssgi_mod
+    from realism_effects_tpu.ops import temporal_reproject as tr_mod
+
+    assert ao_mod.USE_WINDOW_WARP is True
+    assert tr_mod.USE_WINDOW_WARP is True
+    assert ssgi_mod.USE_WINDOW_WARP is True
+
+
+def _stage_hlo_texts_inner(width, height, sweep):
     import jax
 
     scene = re_tpu.Scene()

@@ -344,6 +344,10 @@ def _fixture(seed=0):
 
 
 def _compare(cfg, seed=0, frame=3, tol_q=2e-3, frac_tol=0.03):
+    # this fixture transliterates the reference's gather march; pin it
+    # regardless of the shipped trace default (sweep)
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, trace="march")
     gb, gbj, velocity, accumulated, direct, env, envd, cam = _fixture(seed)
     noise = np.asarray(blue_noise_image(H, W, jnp.int32(frame)), np.float64)
     kw = dict(ray_distance=8.0, thickness=2.0, env_blur=0.4)

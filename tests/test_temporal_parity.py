@@ -13,12 +13,25 @@ with edge replication (no GPU quad derivatives); clamp-to-edge sampling.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from realism_effects_tpu.core.camera import PerspectiveCamera
 from realism_effects_tpu.core.framebuffers import VelocityBuffer
+from realism_effects_tpu.ops import temporal_reproject as tr_mod
 from realism_effects_tpu.ops.temporal_reproject import (
     TemporalReprojectConfig, temporal_reproject,
 )
+
+
+@pytest.fixture(autouse=True)
+def _pin_gather_path(monkeypatch):
+    """This fixture transliterates the GLSL's unbounded gathers, so it
+    pins the gather fetch path; the production window-warp path (which
+    treats beyond-window displacements as disocclusions — here the
+    random-ray hit-point reprojection scatters arbitrarily far) is
+    pinned equal to it for bounded motion by
+    tests/test_warp.py::test_temporal_reproject_window_path_equality."""
+    monkeypatch.setattr(tr_mod, "USE_WINDOW_WARP", False)
 
 H, W = 32, 28
 
