@@ -72,6 +72,18 @@ WARMUP = 2
 ITERS = 12       # frames per amortized batch
 BATCHES = 4      # batches (one readback each); headline = best batch
 
+# v5e datasheet peaks for the roofline/MFU statement in --json artifacts
+PEAK_FLOPS = 197e12   # bf16 MXU peak, FLOP/s
+PEAK_HBM = 819e9      # HBM bandwidth, B/s
+
+#: all emitted metric records (mirrored to --json PATH)
+_RECORDS: list[dict] = []
+
+
+def emit(d: dict):
+    print(json.dumps(d))
+    _RECORDS.append(d)
+
 
 def _mb():
     """Motion blur effect matching the --trace discretization choice."""
@@ -244,17 +256,17 @@ def run_sponza(breakdown: bool):
     if breakdown:
         stages = _measure_stages(composer, animate, WARMUP + ITERS)
         for k, ms in stages.items():
-            print(json.dumps({
+            emit({
                 "metric": f"pass_ms_sponza_1080p.{k}",
                 "value": round(ms, 3),
                 "unit": "ms/frame",
                 "vs_baseline": round(BASELINE_MS / total, 3),
-            }))
-    print(json.dumps({
+            })
+    emit({
         "metric": "frame_ms_sponza_1080p_full_stack_ssgi_hbao_traa_mb",
         "value": round(total, 3), "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / total, 3),
-    }))
+    })
 
 
 def build_config(n: int):
@@ -337,10 +349,11 @@ def build_config(n: int):
 def run_config(n: int):
     composer, animate, name = build_config(n)
     ms = _measure(composer, animate)
-    print(json.dumps({
+    emit({
         "metric": name, "value": round(ms, 3), "unit": "ms/frame",
+        "median_ms": round(_measure.last_median, 3),
         "vs_baseline": round(BASELINE_MS / ms, 3),
-    }))
+    })
 
 
 def _orbit(cam, f):
@@ -349,23 +362,73 @@ def _orbit(cam, f):
     cam.look_at((0, 0.5, 0))
 
 
-def run_breakdown():
+def _stage_roofline(composer, stages_ms: dict):
+    """Per-stage FLOPs / bytes from XLA's compiled-program cost analysis
+    -> MFU and HBM-bandwidth utilization vs the v5e datasheet peaks.
+
+    Captures each staged jit's (fn, args) exactly like
+    tests/test_gather_budget.py, then asks the compiled executable for
+    its cost analysis. Both utilizations are fractions of peak; for this
+    workload (stencil/roll image passes, no big matmuls) the honest
+    roofline statement is the HBM number — MFU is structurally tiny."""
+    captured = {}
+
+    def wrap(name, fn):
+        def wrapped(*args):
+            captured[name] = (fn, args)
+            return fn(*args)
+        return wrapped
+
+    composer._raster_stage = wrap("raster_shade", composer._raster_stage)
+    composer._effect_stages = [
+        wrap(e.name, s)
+        for e, s in zip(composer.effects, composer._effect_stages)
+    ]
+    composer.render(dt=1 / 60)
+    out = {}
+    for name, (fn, args) in captured.items():
+        try:
+            ca = fn.lower(*args).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            byts = float(ca.get("bytes accessed", 0.0))
+        except Exception:
+            continue
+        ms = stages_ms.get(name)
+        if not ms:
+            continue
+        sec = ms / 1e3
+        out[name] = {
+            "gflops": round(flops / 1e9, 3),
+            "gbytes": round(byts / 1e9, 3),
+            "mfu": round(flops / sec / PEAK_FLOPS, 6),
+            "hbm_util": round(byts / sec / PEAK_HBM, 4),
+        }
+    return out
+
+
+def run_breakdown(roofline=False):
     """Per-pass ms at 1080p (BASELINE.json's prescribed metric)."""
     composer, cam = build_composer()
     animate = lambda f: _orbit(cam, f)
     # fused single-dispatch total, then per-stage with a sync per stage
     total = _measure(composer, animate)
     stages = _measure_stages(composer, animate, WARMUP + ITERS)
+    roof = _stage_roofline(composer, stages) if roofline else {}
     for k, ms in stages.items():
-        print(json.dumps({
+        rec = {
             "metric": f"pass_ms_1080p.{k}", "value": round(ms, 3),
             "unit": "ms/frame", "vs_baseline": round(BASELINE_MS / total, 3),
-        }))
-    print(json.dumps({
+        }
+        rec.update(roof.get(k, {}))
+        emit(rec)
+    emit({
         "metric": "frame_ms_1080p_full_stack_ssgi_hbao_traa_mb",
         "value": round(total, 3), "unit": "ms/frame",
+        "median_ms": round(_measure.last_median, 3),
         "vs_baseline": round(BASELINE_MS / total, 3),
-    }))
+    })
 
 
 def _warn_if_loaded():
@@ -391,29 +454,42 @@ def main():
     import sys
     global TRACE
     _warn_if_loaded()
-    if "--trace" in sys.argv:
-        TRACE = sys.argv[sys.argv.index("--trace") + 1]
-        assert TRACE in ("march", "sweep"), TRACE
-    if "--config" in sys.argv:
-        run_config(int(sys.argv[sys.argv.index("--config") + 1]))
-        return
-    if "--scene" in sys.argv:
-        scene = sys.argv[sys.argv.index("--scene") + 1]
-        if scene != "sponza":
-            raise SystemExit(f"unknown bench scene {scene!r}")
-        run_sponza("--breakdown" in sys.argv)
-        return
-    if "--breakdown" in sys.argv:
-        run_breakdown()
-        return
-    composer, cam = build_composer()
-    ms = _measure(composer, lambda f: _orbit(cam, f))
-    print(json.dumps({
-        "metric": "frame_ms_1080p_full_stack_ssgi_hbao_traa_mb",
-        "value": round(ms, 3),
-        "unit": "ms/frame",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
-    }))
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
+    try:
+        if "--trace" in sys.argv:
+            TRACE = sys.argv[sys.argv.index("--trace") + 1]
+            assert TRACE in ("march", "sweep"), TRACE
+        if "--config" in sys.argv:
+            run_config(int(sys.argv[sys.argv.index("--config") + 1]))
+        elif "--scene" in sys.argv:
+            scene = sys.argv[sys.argv.index("--scene") + 1]
+            if scene != "sponza":
+                raise SystemExit(f"unknown bench scene {scene!r}")
+            run_sponza("--breakdown" in sys.argv)
+        elif "--breakdown" in sys.argv:
+            run_breakdown(roofline=json_path is not None)
+        else:
+            composer, cam = build_composer()
+            ms = _measure(composer, lambda f: _orbit(cam, f))
+            emit({
+                "metric": "frame_ms_1080p_full_stack_ssgi_hbao_traa_mb",
+                "value": round(ms, 3),
+                "unit": "ms/frame",
+                "median_ms": round(_measure.last_median, 3),
+                "vs_baseline": round(BASELINE_MS / ms, 3),
+            })
+    finally:
+        if json_path and _RECORDS:
+            meta = {"trace": TRACE, "statistic": "best-batch amortized "
+                    "(median_ms where present; see module docstring)"}
+            try:
+                meta["loadavg_1min"] = round(os.getloadavg()[0], 2)
+            except OSError:
+                pass
+            with open(json_path, "w") as f:
+                json.dump({"meta": meta, "records": _RECORDS}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -254,9 +254,10 @@ class EffectComposer:
         self.last_timings: dict[str, float] = {}
         #: run the whole effect chain as ONE jitted program (single host
         #: dispatch) instead of one per effect. Same math, fewer
-        #: dispatches — the frame loop is host-dispatch-bound. Set False
-        #: to fall back to per-effect stages (collect_timings does so
-        #: automatically, it needs the stage boundaries)
+        #: dispatches (~1 ms of host overhead saved per stage; the frame
+        #: itself is device-bound — see BENCH_breakdown artifacts). Set
+        #: False to fall back to per-effect stages (collect_timings does
+        #: so automatically, it needs the stage boundaries)
         self.fuse_effects = True
         #: additionally fuse the raster+shade stage into that same
         #: program: ONE dispatch per frame total. Same math; saves one

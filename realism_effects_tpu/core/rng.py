@@ -130,9 +130,37 @@ def blue_noise_image(height: int, width: int, index,
     bit-identical noise to the single-chip image, which is what makes the
     sharded stencil passes exactly equal to their unsharded counterparts.
     """
+    # The fetch pattern tile[(y + sy) % size, (x + sx) % size] is a
+    # toroidal ROLL of the tile followed by tiling — pure shifts/
+    # broadcasts instead of a full-res 2M-index gather (each of which
+    # costs ~15 ms on the TPU; this function is called ~15x per frame
+    # across the kernels). Values are bit-identical to the gather
+    # formulation, including negative sharded row offsets (signed mod).
+    return blue_noise_transform(
+        height, width, index, lambda t: t, tile=tile,
+        row_offset=row_offset, col_offset=col_offset,
+    )
+
+
+def blue_noise_transform(height: int, width: int, index, fn,
+                         tile: jnp.ndarray | None = None,
+                         row_offset=0, col_offset=0) -> jnp.ndarray:
+    """``fn(blue_noise_image(h, w, index))`` for POINTWISE ``fn`` — but
+    evaluated on the 128x128 tile and roll+tiled afterwards.
+
+    A pointwise function commutes with the toroidal roll + tiling that
+    :func:`blue_noise_image` is built from, so the result is
+    bit-identical while any *gathers inside fn* (e.g. the env CDF
+    inversion, `ssgi_utils.frag:210-225`) price 16k indices instead of
+    H*W ~ 2M (gathers are priced per index on this TPU, CLAUDE.md rule
+    2b — this is a ~100x discount on noise-driven table lookups).
+
+    ``fn``: (S, S, 4) noise tile -> (S, S, C) values.
+    """
     if tile is None:
         tile = jnp.asarray(blue_noise_tile())
     size = tile.shape[0]
+    out_tile = fn(tile)
     index = jnp.asarray(index, jnp.uint32)
     seed = jnp.stack(
         [
@@ -145,19 +173,13 @@ def blue_noise_image(height: int, width: int, index,
     )
     s = pcg4d(seed)
     shift = s[..., :2] % np.uint32(0x0FFFFFFF)
-    # The fetch pattern tile[(y + sy) % size, (x + sx) % size] is a
-    # toroidal ROLL of the tile followed by tiling — pure shifts/
-    # broadcasts instead of a full-res 2M-index gather (each of which
-    # costs ~15 ms on the TPU; this function is called ~15x per frame
-    # across the kernels). Values are bit-identical to the gather
-    # formulation, including negative sharded row offsets (signed mod).
     sx = jnp.mod(
         shift[0].astype(jnp.int32) + jnp.asarray(col_offset, jnp.int32), size
     )
     sy = jnp.mod(
         shift[1].astype(jnp.int32) + jnp.asarray(row_offset, jnp.int32), size
     )
-    rolled = jnp.roll(tile, shift=(-sy, -sx), axis=(0, 1))
+    rolled = jnp.roll(out_tile, shift=(-sy, -sx), axis=(0, 1))
     reps_y = -(-height // size)
     reps_x = -(-width // size)
     return jnp.tile(rolled, (reps_y, reps_x, 1))[:height, :width]

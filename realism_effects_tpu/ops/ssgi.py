@@ -269,9 +269,20 @@ def ssgi(
     is_env_sample = jnp.zeros((h, w), bool)
     env_mis_dir = jnp.zeros((h, w, 3), jnp.float32)
     if cfg.importance_sampling and env is not None:
-        env_pdf, env_dir_ws = sample_equirect_probability(
-            env, jnp.stack([r1, r2], axis=-1), fast=cfg.trace == "sweep"
-        )
+        # the CDF inversion depends ONLY on the blue noise, which is a
+        # rolled+tiled 128x128 texture — evaluate it on the tile and
+        # roll+tile the result (bit-identical, ~100x fewer gather
+        # indices; core.rng.blue_noise_transform)
+        from ..core.rng import blue_noise_transform
+
+        def _cdf_on_tile(t):
+            pdf_t, dir_t = sample_equirect_probability(
+                env, t[..., :2], fast=cfg.trace == "sweep"
+            )
+            return jnp.concatenate([pdf_t[..., None], dir_t], axis=-1)
+
+        packed_env = blue_noise_transform(h, w, frame, _cdf_on_tile)
+        env_pdf, env_dir_ws = packed_env[..., 0], packed_env[..., 1:4]
         env_mis_dir = normalize(
             transform_dir_transpose(cam.camera_matrix_world, env_dir_ws)
         )
@@ -296,9 +307,14 @@ def ssgi(
         sweep_rays = [specular_ray] + (
             [diffuse_ray] if cfg.mode == "ssgi" else []
         )
+        # stochastic bin rounding wants noise independent of r1-r4 (which
+        # pick the ray/diffuse/env sample): a second blue-noise image
+        # with an offset seed is still just a roll+tile
+        bin_noise = blue_noise_image(h, w, frame + 2048)[..., 0]
         sweep_traces = sweep_ray_march(
             view_pos, sweep_rays, depth, cam, frame, thickness,
             ray_distance, dirs=cfg.sweep_dirs, steps=cfg.sweep_steps,
+            bin_noise=bin_noise,
         )
         traced = {id(r): t for r, t in zip(sweep_rays, sweep_traces)}
 

@@ -102,13 +102,23 @@ def _s_of_t(t, k_len, w0, wd):
 
 def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
                     ray_distance, dirs: int = 16, steps: int = 32,
-                    min_radius: float = 1.5):
+                    min_radius: float = 1.5, bin_noise=None):
     """Trace ``rays`` (list of (H, W, 3) view-space directions) against
     the depth buffer with zero per-pixel gathers.
 
     Returns a list of (uv, hit_pos, missed) triples with the same
     contract as the gather march (`ops/ssgi.py::_view_space_ray_march`):
     uv in [0,1]^2, hit_pos in view space (1e9 sentinel on miss).
+
+    ``bin_noise`` (optional (H, W) in [0,1)): stochastic bin rounding.
+    A ray's projected angle generally falls between two bin directions;
+    deterministic nearest-rounding snaps it coherently (error integrates
+    out only through the global per-frame R2 rotation). With noise, the
+    bin is rounded stochastically in proportion to the angular fraction
+    — unbiased per pixel per frame, so the temporal accumulator
+    converges to the angular *interpolation* of the two adjacent bins
+    and pixel-decorrelated rather than globally-coherent snap error.
+    None (or a constant 0.5) reproduces deterministic nearest-rounding.
     """
     h, w = depth_tex.shape
     n_rays = len(rays)
@@ -147,8 +157,9 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
     for l in rays:
         q0, e_hat, k_len, w0, wd = _project_ray(view_pos, l, cam, h, w)
         phi = jnp.arctan2(e_hat[..., 1], e_hat[..., 0])  # (-pi, pi]
+        rnd = 0.5 if bin_noise is None else bin_noise
         bin_idx = jnp.mod(
-            jnp.round(phi / bin_width - xi), float(dirs)
+            jnp.floor(phi / bin_width - xi + rnd), float(dirs)
         )
         # screen length of the whole ray (t = ray_distance); rays whose
         # far end is behind the eye (w <= 0) run to the vanishing point

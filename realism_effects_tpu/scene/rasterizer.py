@@ -451,10 +451,24 @@ def _pack_face_table(cols) -> list:
 
 
 def _fetch_face_table(chunks, ids: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) face ids -> (H, W, K) packed record (ceil(K/8) gathers)."""
+    """(H, W) face ids -> (H, W, K) packed record.
+
+    Small tables (ordinary scenes) resolve by the Pallas VMEM dense
+    select (ops/pallas/table.py) — no priced gather at all; huge meshes
+    (e.g. Sponza's 262k faces -> 2048 table rows) keep the ceil(K/8)
+    ``tex[y, x]`` gathers, which are cheaper there."""
+    from ..ops.pallas.table import table_rows_ok, vmem_table_lookup
+
     safe = jnp.maximum(ids, 0)
     r, l = safe // 128, safe % 128
-    return jnp.concatenate([c[r, l] for c in chunks], axis=-1)
+    return jnp.concatenate(
+        [
+            vmem_table_lookup(c, r, l) if table_rows_ok(c.shape[0])
+            else c[r, l]
+            for c in chunks
+        ],
+        axis=-1,
+    )
 
 
 def _weights_from_coeffs(coeffs: jnp.ndarray, height: int, width: int):

@@ -19,6 +19,25 @@ from ..core.framebuffers import GBuffer
 from ..core.math3d import normalize, screen_to_world, uv_grid
 
 
+#: evaluate the env background on a half-resolution direction grid and
+#: bilinearly upsample (gather-free interleave): the view-direction
+#: field is smooth, so this halves the background's priced gather-index
+#: count 4x (~15 ms at 1080p, CLAUDE.md rule 2b) for at most one
+#: env-texel of softening. False = exact per-pixel fetch (the
+#: formulation golden/parity fixtures can pin).
+FAST_BACKGROUND = True
+
+
+def _upsample2(c: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
+    """2x bilinear upsample along ``axis`` aligned to pixel centers:
+    out[2i] = c[i], out[2i+1] = (c[i] + c[i+1]) / 2; crops to ``n``."""
+    c = jnp.moveaxis(c, axis, 0)
+    a = c[:-1]
+    mid = 0.5 * (a + c[1:])
+    out = jnp.stack([a, mid], axis=1).reshape((-1,) + c.shape[1:])
+    return jnp.moveaxis(out[:n], 0, axis)
+
+
 def _f0(gbuffer: GBuffer) -> jnp.ndarray:
     """Specular reflectance at normal incidence: 0.04 dielectric base
     lerped to albedo by metalness (three.js MeshPhysicalMaterial)."""
@@ -104,7 +123,25 @@ def shade_direct(gbuffer: GBuffer, camera, lighting: dict,
 
     # background: env map along the camera ray, else flat background color
     is_bg = gbuffer.depth >= 1.0
-    if env is not None:
+    if env is not None and FAST_BACKGROUND and min(h, w) >= 64:
+        # half-res direction grid at pixel centers (2i + 0.5), bilinear
+        # 2x upsample (see FAST_BACKGROUND)
+        hc, wc = h // 2 + 1, w // 2 + 1
+        uv_c = jnp.stack(
+            jnp.meshgrid(
+                (jnp.arange(wc, dtype=jnp.float32) * 2.0 + 0.5) / w,
+                (jnp.arange(hc, dtype=jnp.float32) * 2.0 + 0.5) / h,
+            ),
+            axis=-1,
+        )
+        far_c = screen_to_world(
+            uv_c, jnp.ones((hc, wc), jnp.float32),
+            camera.camera_matrix_world, camera.projection_matrix_inverse,
+        )
+        bg_c = sample_equirect_color(
+            env, normalize(far_c - camera.position), 0.0)
+        bg = _upsample2(_upsample2(bg_c, h, 0), w, 1)
+    elif env is not None:
         far_pos = screen_to_world(
             uv, jnp.ones((h, w), jnp.float32),
             camera.camera_matrix_world, camera.projection_matrix_inverse,

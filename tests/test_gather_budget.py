@@ -109,13 +109,16 @@ def _stage_hlo_texts_inner(width, height, sweep):
         composer.add_effect(re_tpu.SSGIEffect(
             trace="sweep", sweep_dirs=8, sweep_steps=8))
     else:
-        composer.add_effect(re_tpu.SSGIEffect())
+        # the march/taps programs are no longer the shipped defaults
+        # (sweep is); pin them explicitly so both discretizations stay
+        # fenced
+        composer.add_effect(re_tpu.SSGIEffect(trace="march"))
     composer.add_effect(re_tpu.HBAOEffect())
     if sweep:
         composer.add_effect(re_tpu.MotionBlurEffect(
             mode="sweep", sweep_dirs=8, sweep_steps=6))
     else:
-        composer.add_effect(re_tpu.MotionBlurEffect())
+        composer.add_effect(re_tpu.MotionBlurEffect(mode="taps"))
     composer.add_effect(re_tpu.TRAAEffect())
     # staged path (per-stage programs), not the fused single dispatch
     composer.fuse_raster = False

@@ -344,10 +344,12 @@ def _fixture(seed=0):
 
 
 def _compare(cfg, seed=0, frame=3, tol_q=2e-3, frac_tol=0.03):
-    # this fixture transliterates the reference's gather march; pin it
-    # regardless of the shipped trace default (sweep)
+    # this fixture transliterates the reference's gather march WITHOUT
+    # the useDirectLight render-pass add (`ssgi.frag:267-272` — covered
+    # by test_features::test_use_direct_light); pin both regardless of
+    # the shipped defaults (trace="sweep", use_direct_light=True)
     import dataclasses as _dc
-    cfg = _dc.replace(cfg, trace="march")
+    cfg = _dc.replace(cfg, trace="march", use_direct_light=False)
     gb, gbj, velocity, accumulated, direct, env, envd, cam = _fixture(seed)
     noise = np.asarray(blue_noise_image(H, W, jnp.int32(frame)), np.float64)
     kw = dict(ray_distance=8.0, thickness=2.0, env_blur=0.4)

@@ -1,0 +1,189 @@
+"""Piece-profile the SSGI stage on the real TPU (fresh process).
+
+Times each component of the SSGI effect independently with pre-staged
+device args and amortized-batch readback-synced timing (CLAUDE.md rules
+2/8): the sweep trace loop, env sampling, the prewarp, temporal
+reproject, Poisson denoise, and compose. Prints one line per piece.
+
+Usage: python tools/profile_ssgi.py [--cpu] [--size HxW]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    h, w = 1080, 1920
+    if "--size" in sys.argv:
+        h, w = map(int, sys.argv[sys.argv.index("--size") + 1].split("x"))
+
+    import jax.numpy as jnp
+
+    import realism_effects_tpu as re_tpu
+    from realism_effects_tpu.core.rng import blue_noise_image
+    from realism_effects_tpu.ops import ssgi as ssgi_mod
+    from realism_effects_tpu.ops.ssgi_sweep import sweep_ray_march
+
+    # --- build a realistic frame's inputs once (host), stage on device
+    scene = re_tpu.Scene()
+    scene.environment = re_tpu.build_equirect_env(
+        re_tpu.procedural_sky(64, 128))
+    scene.add(re_tpu.make_plane(20, re_tpu.Material(
+        diffuse=(0.6, 0.6, 0.65, 1.0))))
+    box = scene.add(re_tpu.make_box((1, 1, 1), re_tpu.Material(
+        diffuse=(0.9, 0.3, 0.2, 1.0))))
+    box.set_matrix(re_tpu.translation(0, 0.5, 0))
+    sph = scene.add(re_tpu.make_sphere(0.6, material=re_tpu.Material(
+        diffuse=(0.2, 0.5, 0.9, 1.0), roughness=0.2, metalness=0.8)))
+    sph.set_matrix(re_tpu.translation(1.5, 0.6, 0.5))
+    cam = re_tpu.PerspectiveCamera(50, w / h, 0.1, 100)
+    cam.set_position(3, 2.5, 4)
+    cam.look_at((0, 0.5, 0))
+    composer = re_tpu.EffectComposer(scene, cam, w, h)
+    eff = re_tpu.SSGIEffect()
+    composer.add_effect(eff)
+    composer.render(dt=1 / 60)  # builds state
+    img = composer.render(dt=1 / 60)
+    print("warmup readback:", float(jnp.max(img)), file=sys.stderr)
+
+    cfg = eff.cfg
+    cams = cam.matrices()
+    from realism_effects_tpu.scene.rasterizer import (
+        rasterize_gbuffer, rasterize_velocity,
+    )
+    from realism_effects_tpu.scene.shading import shade_direct
+
+    packed = scene.pack()
+    mm = scene.model_matrices()
+    gb = rasterize_gbuffer(packed, mm, cams.projection_view_matrix, h, w)
+    vel = rasterize_velocity(
+        packed, mm, mm, cams, cams, h, w)
+    direct = shade_direct(gb, cams, scene.lighting_params(),
+                          env=scene.environment)
+    acc = jnp.zeros((h, w, 4), jnp.float32) + 0.25
+    env = scene.environment
+    frame = jnp.int32(7)
+
+    gb = jax.device_put(gb)
+    vel = jax.device_put(vel)
+
+    def timeit(name, fn, *args, iters=8, batches=3):
+        jfn = jax.jit(fn)
+        out = jfn(*args)
+        _ = float(jnp.max(jax.tree.leaves(out)[0]))  # compile+sync
+        best = np.inf
+        for _b in range(batches):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(iters):
+                o = jfn(*args)
+            _ = float(jnp.max(jax.tree.leaves(o)[0]))
+            best = min(best, (time.perf_counter() - t0) * 1000.0 / iters)
+        print(f"{name:34s} {best:8.2f} ms")
+        return best
+
+    uv = re_tpu.core.math3d.uv_grid(h, w) if hasattr(re_tpu, "core") else None
+
+    from realism_effects_tpu.core import math3d
+    from realism_effects_tpu.core.math3d import (
+        normalize, transform_dir_transpose,
+    )
+
+    uv = math3d.uv_grid(h, w)
+
+    def make_rays(gbuf, camm, fr):
+        depth = gbuf.depth
+        view_z = ssgi_mod._get_view_z(depth, camm)
+        view_pos = math3d.get_view_position(
+            uv, view_z, camm.projection_matrix,
+            camm.projection_matrix_inverse)
+        noise = blue_noise_image(h, w, fr)
+        r1, r2 = noise[..., 0], noise[..., 1]
+        view_normal = normalize(transform_dir_transpose(
+            camm.camera_matrix_world, gbuf.normal))
+        from realism_effects_tpu.core import brdf
+        cos_hemi = brdf.cosine_sample_hemisphere(
+            view_normal, jnp.stack([r1, r2], axis=-1))
+        return view_pos, cos_hemi, depth
+
+    # 1. full ssgi kernel (trace+env+brdf, no denoiser)
+    def full_ssgi(gbuf, velb, accb, directb, camm, fr):
+        return ssgi_mod.ssgi(gbuf, velb, accb, directb, env, camm, fr, cfg,
+                             ray_distance=10.0, thickness=10.0, env_blur=0.5)
+
+    timeit("ssgi kernel (trace+env+brdf)", full_ssgi,
+           gb, vel, acc, direct, cams, frame)
+
+    # 2. the sweep trace alone (2 rays, default dirs/steps)
+    def trace_only(gbuf, camm, fr):
+        view_pos, ray, depth = make_rays(gbuf, camm, fr)
+        res = sweep_ray_march(
+            view_pos, [ray, -ray], depth, camm, fr, 10.0, 10.0,
+            dirs=cfg.sweep_dirs, steps=cfg.sweep_steps)
+        return res[0][0] + res[1][0]
+
+    timeit(f"sweep trace 2 rays {cfg.sweep_dirs}x{cfg.sweep_steps}",
+           trace_only, gb, cams, frame)
+
+    # 3. env color fetch (sample_equirect_color per-pixel dir), per ray
+    def env_fetch(gbuf, camm, fr):
+        _, ray, _ = make_rays(gbuf, camm, fr)
+        ray_ws = transform_dir_transpose(camm.view_matrix, ray)
+        from realism_effects_tpu.core.envmap import sample_equirect_color
+        return sample_equirect_color(env, ray_ws, 0.5)
+
+    timeit("env color fetch (1 ray)", env_fetch, gb, cams, frame)
+
+    # 4. env CDF importance sampling (on-tile evaluation)
+    def env_cdf(gbuf, camm, fr):
+        from realism_effects_tpu.core.envmap import (
+            sample_equirect_probability,
+        )
+        from realism_effects_tpu.core.rng import blue_noise_transform
+
+        def _cdf_on_tile(t):
+            pdf_t, dir_t = sample_equirect_probability(
+                env, t[..., :2], fast=True)
+            return jnp.concatenate([pdf_t[..., None], dir_t], axis=-1)
+
+        return blue_noise_transform(h, w, fr, _cdf_on_tile)
+
+    timeit("env CDF inversion (on-tile)", env_cdf, gb, cams, frame)
+
+    # 5. prewarp + hit fetch
+    def prewarp(velb, accb):
+        from realism_effects_tpu.ops.pallas.warp import bilinear_window
+        acc16 = accb[..., :3].astype(jnp.float16).astype(jnp.float32)
+        pre_uv = uv - velb.velocity
+        warped, ok = bilinear_window(acc16, pre_uv, ky=8)
+        return warped
+
+    timeit("radiance prewarp (window)", prewarp, vel, acc)
+
+    def hit_fetch(accb, gbuf, camm, fr):
+        from realism_effects_tpu.core.sampling import sample_bilinear
+        _, ray, _ = make_rays(gbuf, camm, fr)
+        coords = jnp.stack([ray[..., 0] * 0.5 + 0.5,
+                            ray[..., 1] * 0.5 + 0.5], axis=-1)
+        return sample_bilinear(accb[..., :3].astype(jnp.float16), coords)
+
+    timeit("hit-point radiance fetch (1 ray)", hit_fetch,
+           acc, gb, cams, frame)
+
+    # 6. denoiser chain = bench's ssgi-stage ms (BENCH_breakdown) minus
+    # piece 1; measured pieces above bound the trace/env/fetch split.
+
+
+if __name__ == "__main__":
+    main()
