@@ -307,20 +307,10 @@ def ssgi(
         sweep_rays = [specular_ray] + (
             [diffuse_ray] if cfg.mode == "ssgi" else []
         )
-        # stochastic bin rounding wants noise independent of r1-r4 (which
-        # pick the ray/diffuse/env sample): a second blue-noise image
-        # with an offset seed is still just a roll+tile
-        bin_noise = blue_noise_image(h, w, frame + 2048)[..., 0]
-        sweep_traces = sweep_ray_march(
-            view_pos, sweep_rays, depth, cam, frame, thickness,
-            ray_distance, dirs=cfg.sweep_dirs, steps=cfg.sweep_steps,
-            bin_noise=bin_noise,
-        )
-        traced = {id(r): t for r, t in zip(sweep_rays, sweep_traces)}
 
         # Prewarped accumulated radiance: A'(q) = acc(q - vel(q)), built
         # once by a bounded window-warp (velocity is a few px/frame), so
-        # each ray's radiance fetch at its hit point needs ONE gather of
+        # each ray's radiance fetch at its hit point needs ONE read of
         # A' instead of a velocity gather + a reprojected radiance gather
         # (`ssgi.frag:380-388` fetches velocity then accumulatedTexture).
         # Deviation vs the gather chain: the bilinear mixes 4 texels each
@@ -341,6 +331,19 @@ def ssgi(
             ).astype(jnp.float16)
         else:
             prewarped = None
+
+        # stochastic bin rounding wants noise independent of r1-r4 (which
+        # pick the ray/diffuse/env sample): a second blue-noise image
+        # with an offset seed is still just a roll+tile
+        bin_noise = blue_noise_image(h, w, frame + 2048)[..., 0]
+        sweep_traces = sweep_ray_march(
+            view_pos, sweep_rays, depth, cam, frame, thickness,
+            ray_distance, dirs=cfg.sweep_dirs, steps=cfg.sweep_steps,
+            bin_noise=bin_noise,
+            radiance=(prewarped.astype(jnp.float32)
+                      if prewarped is not None else None),
+        )
+        traced = {id(r): t for r, t in zip(sweep_rays, sweep_traces)}
     else:
         traced = None
         prewarped = None
@@ -363,8 +366,12 @@ def ssgi(
         )
         brdf_val = brdf_val * cos_theta
 
+        trace_gi = None
         if traced is not None:
-            coords, hit_pos, missed = traced[id(l)]
+            entry = traced[id(l)]
+            coords, hit_pos, missed = entry[0], entry[1], entry[2]
+            if len(entry) > 3:
+                trace_gi = entry[3]
         else:
             coords, hit_pos, missed = _view_space_ray_march(
                 view_pos, l, depth, cam, r3, thickness, ray_distance, cfg
@@ -376,9 +383,14 @@ def ssgi(
         )
 
         # reproject hit into last frame's accumulated radiance
-        if prewarped is not None:
-            # sweep: one f16 quad-packed gather of the prewarped
-            # radiance (+ validity flag channel) at the hit point
+        if trace_gi is not None:
+            # sweep: the prewarped radiance (+ validity flag channel) was
+            # read at the hit texel DURING the march — zero extra fetches
+            reproj_gi = trace_gi[..., :3]
+            in_bounds = trace_gi[..., 3] > 0.5
+        elif prewarped is not None:
+            # sweep without the in-march read: one f16 quad-packed gather
+            # of the prewarped radiance at the hit point
             pw = sample_bilinear(prewarped, coords)
             reproj_gi = pw[..., :3]
             in_bounds = pw[..., 3] > 0.5

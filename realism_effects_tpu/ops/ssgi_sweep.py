@@ -88,9 +88,13 @@ def _project_ray(view_pos, l, cam, height, width):
 
 
 def _t_of_s(s, k_len, w0, wd):
-    """Ray parameter t at screen distance s (pixels) along the line."""
-    denom = k_len - s * w0 * wd
-    t = s * w0 * w0 / jnp.where(jnp.abs(denom) > EPS, denom, EPS)
+    """Ray parameter t at screen distance s (pixels) along the line.
+
+    Multiply order (w0*wd and w0*w0 as separate products) matches the
+    Pallas executor's precomputed-plane arithmetic bit for bit.
+    """
+    denom = k_len - s * (w0 * wd)
+    t = s * (w0 * w0) / jnp.where(jnp.abs(denom) > EPS, denom, EPS)
     return t, denom
 
 
@@ -102,7 +106,8 @@ def _s_of_t(t, k_len, w0, wd):
 
 def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
                     ray_distance, dirs: int = 16, steps: int = 32,
-                    min_radius: float = 1.5, bin_noise=None):
+                    min_radius: float = 1.5, bin_noise=None,
+                    radiance=None):
     """Trace ``rays`` (list of (H, W, 3) view-space directions) against
     the depth buffer with zero per-pixel gathers.
 
@@ -119,6 +124,21 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
     converges to the angular *interpolation* of the two adjacent bins
     and pixel-decorrelated rather than globally-coherent snap error.
     None (or a constant 0.5) reproduces deterministic nearest-rounding.
+
+    ``radiance`` (optional (H, W, 4) f32, f16-rangeable — the prewarped
+    accumulated radiance + validity): when given, each ray's tuple gains
+    a 4th element ``gi`` (H, W, 4): ``radiance`` read at the hit step's
+    texel, accumulated DURING the march from the already-fetched step
+    planes — replacing the post-trace per-pixel bilinear gather at the
+    hit point (`ssgi.frag:380-388`), which an XLA gather prices at
+    ~24 ms/ray at 1080p (CLAUDE.md rule 2b). Deviation: nearest texel at
+    the *unrefined* step offset instead of bilinear at the refined
+    sub-texel uv (PARITY.md, sweep-mode sampling approximations).
+
+    On the TPU backend (1080p-class frames) the march executes inside
+    the VMEM-resident Pallas kernel (`ops/pallas/sweep.py`) — identical
+    values, HBM-free steps; elsewhere (CPU tests, 4K) the jnp roll loop
+    below IS the executor.
     """
     h, w = depth_tex.shape
     n_rays = len(rays)
@@ -153,6 +173,16 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
 
+    # hoisted: view-z commutes with the per-step roll (elementwise), and
+    # the f16-packed radiance (2 f32 lanes carry 4 f16 channels) rolls
+    # alongside it when the hit-point fetch is folded into the march
+    z_full = math3d.depth_to_view_z(depth_tex, cam)
+    rad_packed = None
+    if radiance is not None:
+        rad_packed = jax.lax.bitcast_convert_type(
+            radiance.astype(jnp.float16).reshape(h, w, 2, 2), jnp.float32
+        )
+
     per_ray = []
     for l in rays:
         q0, e_hat, k_len, w0, wd = _project_ray(view_pos, l, cam, h, w)
@@ -175,53 +205,101 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
             q0=q0, e_hat=e_hat, k_len=k_len, w0=w0, wd=wd,
             bin_idx=bin_idx, s_end=s_end, z0=z0, lz=lz,
             hit=jnp.zeros((h, w), bool),
+            # the refine is deferred: record (s, s_lo, z_depth) at the
+            # first hit, solve z_ray(s*) == z_d once after the loop
             s_hit=jnp.zeros((h, w), jnp.float32),
+            s_lo_hit=jnp.zeros((h, w), jnp.float32),
+            z_d_hit=jnp.zeros((h, w), jnp.float32),
+            gi=(jnp.zeros((h, w, 2), jnp.float32)
+                if rad_packed is not None else None),
         ))
 
-    def body(m, carry):
-        row = table[m]
-        dy = row[0].astype(jnp.int32)
-        dx = row[1].astype(jnp.int32)
-        s = row[2]
-        s_lo = row[3]
-        d_bin = row[4]
+    use_kernel = False
+    if jax.default_backend() == "tpu":
+        from .pallas.sweep import fits_vmem, sweep_march_vmem
 
-        depth_s = jnp.roll(depth_tex, (-dy, -dx), (0, 1))
-        z_d = math3d.depth_to_view_z(depth_s, cam)
-        in_frame = (
-            (yy + dy >= 0) & (yy + dy < h) & (xx + dx >= 0) & (xx + dx < w)
+        use_kernel = fits_vmem(h, w)
+
+    if use_kernel:
+        planes = [per_ray[0]["z0"]]
+        for r in per_ray:
+            planes += [
+                r["k_len"], r["w0"] * r["w0"], r["w0"] * r["wd"], r["lz"],
+                r["bin_idx"], r["s_end"],
+            ]
+        ktab = jnp.stack(
+            [dys.reshape(-1), dxs.reshape(-1), s_eff.reshape(-1)], axis=-1)
+        kout = sweep_march_vmem(
+            z_full,
+            rad_packed if rad_packed is not None
+            else jnp.zeros((h, w, 2), jnp.float32),
+            ktab, radii_prev, jnp.stack(planes, axis=0),
+            thickness, ray_distance, n_rays, dirs, steps,
         )
+        for r, (hit, s_raw, s_lo, z_d_hit, gi) in zip(per_ray, kout):
+            r["hit"] = hit
+            r["s_hit"] = s_raw
+            r["s_lo_hit"] = s_lo
+            r["z_d_hit"] = z_d_hit
+            if rad_packed is not None:
+                r["gi"] = gi
+    else:
+        def body(m, carry):
+            row = table[m]
+            dy = row[0].astype(jnp.int32)
+            dx = row[1].astype(jnp.int32)
+            s = row[2]
+            s_lo = row[3]
+            d_bin = row[4]
 
-        out = []
-        for r in carry:
-            t_s, denom = _t_of_s(s, r["k_len"], r["w0"], r["wd"])
-            valid = (denom > EPS) & (t_s >= 0.0) & (t_s <= ray_distance) \
-                & (s <= r["s_end"])
-            z_ray = r["z0"] + t_s * r["lz"]
-            diff = z_d - z_ray
-            cond = (diff >= 0.0) & (diff < thickness)
-            upd = (r["bin_idx"] == d_bin) & (~r["hit"]) & in_frame \
-                & valid & cond
-
-            # analytic refine: s* where z_ray(s) == z_d, clamped to the
-            # bracketing interval (replaces `ssgi.frag:477-503`'s five
-            # fetching binary halvings)
-            lz_safe = jnp.where(jnp.abs(r["lz"]) > EPS, r["lz"], EPS)
-            t_star = (z_d - r["z0"]) / lz_safe
-            s_star = _s_of_t(t_star, r["k_len"], r["w0"], r["wd"])
-            s_ref = jnp.clip(s_star, s_lo, s)
-            s_ref = jnp.where(
-                (t_star >= 0.0) & (t_star <= ray_distance), s_ref, s
+            z_d = jnp.roll(z_full, (-dy, -dx), (0, 1))
+            rad_s = (
+                jnp.roll(rad_packed, (-dy, -dx), (0, 1))
+                if rad_packed is not None else None
+            )
+            in_frame = (
+                (yy + dy >= 0) & (yy + dy < h)
+                & (xx + dx >= 0) & (xx + dx < w)
             )
 
-            out.append(dict(
-                r,
-                hit=r["hit"] | upd,
-                s_hit=jnp.where(upd, s_ref, r["s_hit"]),
-            ))
-        return out
+            out = []
+            for r in carry:
+                t_s, denom = _t_of_s(s, r["k_len"], r["w0"], r["wd"])
+                valid = (denom > EPS) & (t_s >= 0.0) \
+                    & (t_s <= ray_distance) & (s <= r["s_end"])
+                z_ray = r["z0"] + t_s * r["lz"]
+                diff = z_d - z_ray
+                cond = (diff >= 0.0) & (diff < thickness)
+                upd = (r["bin_idx"] == d_bin) & (~r["hit"]) & in_frame \
+                    & valid & cond
 
-    per_ray = jax.lax.fori_loop(0, dirs * steps, body, per_ray)
+                nxt = dict(
+                    r,
+                    hit=r["hit"] | upd,
+                    s_hit=jnp.where(upd, s, r["s_hit"]),
+                    s_lo_hit=jnp.where(upd, s_lo, r["s_lo_hit"]),
+                    z_d_hit=jnp.where(upd, z_d, r["z_d_hit"]),
+                )
+                if rad_s is not None:
+                    nxt["gi"] = jnp.where(upd[..., None], rad_s, r["gi"])
+                out.append(nxt)
+            return out
+
+        per_ray = jax.lax.fori_loop(0, dirs * steps, body, per_ray)
+
+    # deferred analytic refine: s* where z_ray(s) == z_d at the recorded
+    # hit, clamped to the bracketing step interval (replaces
+    # `ssgi.frag:477-503`'s five fetching binary halvings; identical
+    # values to refining inside the loop — same inputs, same formula)
+    for r in per_ray:
+        lz_safe = jnp.where(jnp.abs(r["lz"]) > EPS, r["lz"], EPS)
+        t_star = (r["z_d_hit"] - r["z0"]) / lz_safe
+        s_star = _s_of_t(t_star, r["k_len"], r["w0"], r["wd"])
+        s_ref = jnp.clip(s_star, r["s_lo_hit"], r["s_hit"])
+        s_ref = jnp.where(
+            (t_star >= 0.0) & (t_star <= ray_distance), s_ref, r["s_hit"]
+        )
+        r["s_hit"] = jnp.where(r["hit"], s_ref, r["s_hit"])
 
     results = []
     size = jnp.asarray([w, h], jnp.float32)
@@ -247,5 +325,11 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
         t_hit, _ = _t_of_s(s_out, r["k_len"], r["w0"], r["wd"])
         hit_pos = view_pos + t_hit[..., None] * l
         hit_pos = jnp.where(missed[..., None], 1.0e9, hit_pos)
-        results.append((uv, hit_pos, missed))
+        if r["gi"] is not None:
+            gi4 = jax.lax.bitcast_convert_type(
+                r["gi"], jnp.float16
+            ).reshape(h, w, 4).astype(jnp.float32)
+            results.append((uv, hit_pos, missed, gi4))
+        else:
+            results.append((uv, hit_pos, missed))
     return results

@@ -68,7 +68,8 @@ def main():
     mm = scene.model_matrices()
     gb = rasterize_gbuffer(packed, mm, cams.projection_view_matrix, h, w)
     vel = rasterize_velocity(
-        packed, mm, mm, cams, cams, h, w)
+        packed, mm, mm, cams.projection_view_matrix,
+        cams.projection_view_matrix, h, w)
     direct = shade_direct(gb, cams, scene.lighting_params(),
                           env=scene.environment)
     acc = jnp.zeros((h, w, 4), jnp.float32) + 0.25
@@ -117,6 +118,21 @@ def main():
             view_normal, jnp.stack([r1, r2], axis=-1))
         return view_pos, cos_hemi, depth
 
+    # 0. ray setup alone (blue noise, view pos, hemisphere sample) —
+    # subtract from the pieces below that embed it
+    def rays_only(gbuf, camm, fr):
+        view_pos, ray, depth = make_rays(gbuf, camm, fr)
+        return view_pos + ray
+
+    timeit("make_rays (noise+viewpos+hemi)", rays_only, gb, cams, frame)
+
+    # pre-staged ray directions/positions for fetch-isolation pieces
+    vp_dev, ray_dev, _ = jax.jit(make_rays)(gb, cams, frame)
+    ray_ws_dev = jax.jit(
+        lambda r, c: transform_dir_transpose(c.view_matrix, r)
+    )(ray_dev, cams)
+    _ = float(jnp.max(ray_ws_dev))
+
     # 1. full ssgi kernel (trace+env+brdf, no denoiser)
     def full_ssgi(gbuf, velb, accb, directb, camm, fr):
         return ssgi_mod.ssgi(gbuf, velb, accb, directb, env, camm, fr, cfg,
@@ -125,25 +141,22 @@ def main():
     timeit("ssgi kernel (trace+env+brdf)", full_ssgi,
            gb, vel, acc, direct, cams, frame)
 
-    # 2. the sweep trace alone (2 rays, default dirs/steps)
-    def trace_only(gbuf, camm, fr):
-        view_pos, ray, depth = make_rays(gbuf, camm, fr)
+    # 2. the sweep trace alone (2 rays, default dirs/steps), rays staged
+    def trace_only(vp, ray, gbuf, camm, fr):
         res = sweep_ray_march(
-            view_pos, [ray, -ray], depth, camm, fr, 10.0, 10.0,
+            vp, [ray, -ray], gbuf.depth, camm, fr, 10.0, 10.0,
             dirs=cfg.sweep_dirs, steps=cfg.sweep_steps)
         return res[0][0] + res[1][0]
 
     timeit(f"sweep trace 2 rays {cfg.sweep_dirs}x{cfg.sweep_steps}",
-           trace_only, gb, cams, frame)
+           trace_only, vp_dev, ray_dev, gb, cams, frame)
 
-    # 3. env color fetch (sample_equirect_color per-pixel dir), per ray
-    def env_fetch(gbuf, camm, fr):
-        _, ray, _ = make_rays(gbuf, camm, fr)
-        ray_ws = transform_dir_transpose(camm.view_matrix, ray)
+    # 3. env color fetch (sample_equirect_color), direction staged
+    def env_fetch(ray_ws):
         from realism_effects_tpu.core.envmap import sample_equirect_color
-        return sample_equirect_color(env, ray_ws, 0.5)
+        return sample_equirect_color(env, ray_ws, 0.5, quantize=True)
 
-    timeit("env color fetch (1 ray)", env_fetch, gb, cams, frame)
+    timeit("env color fetch (1 ray, staged)", env_fetch, ray_ws_dev)
 
     # 4. env CDF importance sampling (on-tile evaluation)
     def env_cdf(gbuf, camm, fr):
@@ -171,15 +184,13 @@ def main():
 
     timeit("radiance prewarp (window)", prewarp, vel, acc)
 
-    def hit_fetch(accb, gbuf, camm, fr):
+    def hit_fetch(accb, ray):
         from realism_effects_tpu.core.sampling import sample_bilinear
-        _, ray, _ = make_rays(gbuf, camm, fr)
         coords = jnp.stack([ray[..., 0] * 0.5 + 0.5,
                             ray[..., 1] * 0.5 + 0.5], axis=-1)
         return sample_bilinear(accb[..., :3].astype(jnp.float16), coords)
 
-    timeit("hit-point radiance fetch (1 ray)", hit_fetch,
-           acc, gb, cams, frame)
+    timeit("hit-point radiance fetch (staged)", hit_fetch, acc, ray_dev)
 
     # 6. denoiser chain = bench's ssgi-stage ms (BENCH_breakdown) minus
     # piece 1; measured pieces above bound the trace/env/fetch split.
