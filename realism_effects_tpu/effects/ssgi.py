@@ -89,7 +89,7 @@ class SSGIEffect(Effect):
                  selection: str = "mask",
                  output_texture: str | None = None,
                  trace: str = "sweep", sweep_dirs: int = 16,
-                 sweep_steps: int = 32):
+                 sweep_steps: int = 32, env_fetch_stride: int = 2):
         if preset is not None:
             p = SSGI_PRESETS[preset]
             steps = p.get("steps", steps)
@@ -132,6 +132,7 @@ class SSGIEffect(Effect):
             missed_rays=missed_rays, importance_sampling=importance_sampling,
             use_direct_light=use_direct_light, env_box=env_box,
             trace=trace, sweep_dirs=sweep_dirs, sweep_steps=sweep_steps,
+            env_fetch_stride=env_fetch_stride,
         )
         n_tex = 2 if self.mode == "ssgi" else 1
         self.temporal_cfg = TemporalReprojectConfig(

@@ -70,6 +70,16 @@ class SSGIConfig:
     #: box-projected env parallax correction (`ssgi_utils.frag:40-57`):
     #: ((sx, sy, sz), (px, py, pz)) or None
     env_box: tuple | None = None
+    #: sweep-trace env fetch decimation: each stride x stride pixel quad
+    #: shares ONE equirect fetch per frame, with the fetched quad member
+    #: rotating every frame so each pixel's own direction is sampled
+    #: every stride^2 frames and the temporal accumulator integrates the
+    #: rest (an XLA gather is priced per index — CLAUDE.md rule 2b — so
+    #: stride 2 cuts the two per-ray env fetches from ~24 ms to ~6 ms
+    #: each at 1080p). 1 = the reference's per-pixel fetch (march mode
+    #: always fetches per pixel). Deviation notes: PARITY.md sweep-mode
+    #: sampling approximations.
+    env_fetch_stride: int = 2
 
 
 def _get_view_z(depth, cam):
@@ -151,15 +161,38 @@ def _parallax_correct(reflected_ws, world_pos, cfg: SSGIConfig):
     return normalize(box_hit - pos)
 
 
+def _env_fetch_strided(env, dirs_ws, lod, stride, frame, quantize):
+    """Quad-shared equirect fetch: one gather per stride x stride quad.
+
+    The sampled quad member rotates with ``frame`` (phase = frame in
+    base-stride digits), so over stride^2 frames every pixel's own
+    direction is fetched once and the temporal accumulator integrates
+    the neighbours' samples in between — the same mechanism that
+    integrates the reference's per-frame stochastic ray. Spatially this
+    mixes env fallback within quads (wrong-normal bleed is <= 1 px at
+    geometry edges); the roll-based phase wraps at the frame border
+    (<= 1 px artifacts there are inside the border fade)."""
+    h, w = dirs_ws.shape[:2]
+    fy = jnp.mod(jnp.asarray(frame, jnp.int32), stride)
+    fx = jnp.mod(jnp.asarray(frame, jnp.int32) // stride, stride)
+    d = jnp.roll(dirs_ws, (-fy, -fx), (0, 1))[::stride, ::stride]
+    ll = jnp.roll(lod, (-fy, -fx), (0, 1))[::stride, ::stride]
+    s = sample_equirect_color(env, d, ll, quantize=quantize)
+    s = jnp.repeat(jnp.repeat(s, stride, axis=0), stride, axis=1)[:h, :w]
+    return jnp.roll(s, (fy, fx), (0, 1))
+
+
 def _get_env_color(env: EquirectEnv | None, l_view, view_matrix, roughness,
                    is_diffuse, is_env_sample, env_blur, cfg: SSGIConfig,
-                   world_pos=None):
+                   world_pos=None, frame=None):
     """`ssgi.frag:311-346`: equirect fetch with roughness-scaled mip and
     luminance clamping; optional box-projected parallax correction.
 
     The sweep trace quantizes the per-pixel lod to the nearest mip (one
     priced gather instead of the trilinear pair; the temporal filter
-    integrates across the per-frame-stochastic ray directions anyway)."""
+    integrates across the per-frame-stochastic ray directions anyway)
+    and decimates the fetch by ``cfg.env_fetch_stride`` (see
+    :class:`SSGIConfig`)."""
     if env is None:
         return jnp.zeros(l_view.shape[:-1] + (3,), jnp.float32)
     reflected_ws = normalize(transform_dir_transpose(view_matrix, l_view))
@@ -170,8 +203,16 @@ def _get_env_color(env: EquirectEnv | None, l_view, view_matrix, roughness,
     mip_scale = jnp.where(
         (~is_diffuse) & (roughness < 0.15), roughness / 0.15, 1.0
     )
-    sample = sample_equirect_color(env, reflected_ws, mip * mip_scale,
-                                   quantize=cfg.trace == "sweep")
+    lod = jnp.broadcast_to(mip * mip_scale, l_view.shape[:-1])
+    if (cfg.trace == "sweep" and cfg.env_fetch_stride > 1
+            and frame is not None):
+        sample = _env_fetch_strided(
+            env, reflected_ws, lod, cfg.env_fetch_stride, frame,
+            quantize=True,
+        )
+    else:
+        sample = sample_equirect_color(env, reflected_ws, lod,
+                                       quantize=cfg.trace == "sweep")
     if cfg.env_lum_clamp:
         max_env_lum = jnp.where(is_env_sample, 100.0, 25.0)
         env_lum = luminance(sample)
@@ -379,7 +420,7 @@ def ssgi(
 
         env_color = _get_env_color(
             env, l, cam.view_matrix, roughness, is_diffuse_mask,
-            is_env_sample, env_blur, cfg, world_pos=world_pos,
+            is_env_sample, env_blur, cfg, world_pos=world_pos, frame=frame,
         )
 
         # reproject hit into last frame's accumulated radiance
