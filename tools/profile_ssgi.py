@@ -192,8 +192,54 @@ def main():
 
     timeit("hit-point radiance fetch (staged)", hit_fetch, acc, ray_dev)
 
-    # 6. denoiser chain = bench's ssgi-stage ms (BENCH_breakdown) minus
-    # piece 1; measured pieces above bound the trace/env/fetch split.
+    # 6. denoiser chain pieces: temporal reproject, Poisson denoise,
+    # denoiser compose, final ssgi compose — together with piece 1 these
+    # account for the bench's whole ssgi-stage ms (BENCH_breakdown).
+    from realism_effects_tpu.ops.denoiser_compose import denoiser_compose
+    from realism_effects_tpu.ops.compose import ssgi_compose
+    from realism_effects_tpu.ops.poisson_denoise import poisson_denoise
+    from realism_effects_tpu.ops.temporal_reproject import temporal_reproject
+
+    g_diffuse, g_specular = jax.jit(full_ssgi)(
+        gb, vel, acc, direct, cams, frame)
+    _ = float(jnp.max(g_diffuse))
+    history = [jnp.zeros((h, w, 4), jnp.float32) + 0.2,
+               jnp.zeros((h, w, 4), jnp.float32) + 0.2]
+
+    def temporal_piece(gd, gs, hist, velb, gbuf, camm):
+        return temporal_reproject(
+            [gd, gs], hist, velb, velb, camm, camm, eff.temporal_cfg,
+            max_blend=1.0, neighborhood_clamp_intensity=0.5,
+            full_accumulate=jnp.asarray(False),
+            keep_data=jnp.asarray(True),
+            roughness_tex=gbuf.roughness,
+        )
+
+    timeit("temporal reproject (2 tex)", temporal_piece,
+           g_diffuse, g_specular, history, vel, gb, cams)
+
+    temporal = jax.jit(temporal_piece)(
+        g_diffuse, g_specular, history, vel, gb, cams)
+    _ = float(jnp.max(temporal[0]))
+
+    def poisson_piece(tmp, gbuf, fr):
+        return poisson_denoise(list(tmp), gbuf, fr, eff.denoise_cfg)
+
+    timeit("poisson denoise (1 iter, 2 tex)", poisson_piece,
+           tuple(temporal), gb, frame)
+
+    denoised = jax.jit(poisson_piece)(tuple(temporal), gb, frame)
+    _ = float(jnp.max(denoised[0]))
+
+    def compose_piece(dn, gbuf, camm, directb):
+        comp = denoiser_compose(
+            dn[0], dn[1], gbuf, camm,
+            scene_color=None, input_type="diffuse_specular")
+        return ssgi_compose(comp, directb, gbuf.depth, camm,
+                            fog_color=None, fog_density=0.0)
+
+    timeit("denoiser+ssgi compose", compose_piece,
+           tuple(denoised), gb, cams, direct)
 
 
 if __name__ == "__main__":
