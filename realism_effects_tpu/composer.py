@@ -240,6 +240,7 @@ class EffectComposer:
         self._lighting = None           # cached device lighting params
         self._env_cache_key = None      # id() of the raw map last built
         self._env_built = None          # EquirectEnv built from it
+        self._env_raw = None            # the raw map itself (pins its id)
         self._prev_world = None         # numpy snapshots (host-side)
         self._prev_proj = None
         self._last_world = None
@@ -314,6 +315,11 @@ class EffectComposer:
         resets temporal history (`SSGIEffect.js:348-351`)."""
         env = self.scene.environment
         if env is None:
+            # drop the cache: a future map allocated at the recycled id()
+            # of the old (now collectable) array must not hit it
+            self._env_cache_key = None
+            self._env_built = None
+            self._env_raw = None
             return None
         from .core.envmap import EquirectEnv, build_equirect_env
 
@@ -330,6 +336,9 @@ class EffectComposer:
                     jnp.asarray(arr), 2 * s, 4 * s))
             self._env_built = build_equirect_env(arr)
             self._env_cache_key = key
+            # keep the raw map alive while the cache is valid so its id
+            # cannot be recycled by a different same-shape array
+            self._env_raw = env
             self.reset()
         return self._env_built
 

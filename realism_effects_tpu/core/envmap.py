@@ -211,8 +211,11 @@ def build_equirect_env(data: np.ndarray, max_mip_levels: int | None = None) -> E
     # EXRLoader targets): quantize once to f16 storage and build the CDF
     # from the SAME quantized values so importance pdfs match fetches —
     # and a 3-channel bilinear env tap rides ONE 32-byte f16 quad gather
-    data = np.asarray(np.asarray(data, np.float32).astype(np.float16),
-                      np.float32)
+    # clip to the f16 max first: a >65504 sun texel would otherwise become
+    # inf, and the cdf_packed host precompose (inf - inf) would write NaN
+    # importance-sample cells (worse than the runtime chain's inf pdf)
+    data = np.clip(np.asarray(data, np.float32), 0.0, 65504.0)
+    data = np.asarray(data.astype(np.float16), np.float32)
     h, w = data.shape[:2]
 
     # native threaded CDF builder (the Web Worker's C++ replacement)

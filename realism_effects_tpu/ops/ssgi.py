@@ -170,16 +170,33 @@ def _env_fetch_strided(env, dirs_ws, lod, stride, frame, quantize):
     the neighbours' samples in between — the same mechanism that
     integrates the reference's per-frame stochastic ray. Spatially this
     mixes env fallback within quads (wrong-normal bleed is <= 1 px at
-    geometry edges); the roll-based phase wraps at the frame border
-    (<= 1 px artifacts there are inside the border fade)."""
+    geometry edges).
+
+    The member pick is a quad-axis reshape + dynamic-slice, NOT a roll
+    over the frame: a dynamic roll along H lowers to a per-index priced
+    gather on the single chip (CLAUDE.md rule 2b) and forces GSPMD to
+    materialize full-height planes under row sharding, while the
+    (H/stride, stride, ...) dynamic index is local to every row shard."""
     h, w = dirs_ws.shape[:2]
     fy = jnp.mod(jnp.asarray(frame, jnp.int32), stride)
     fx = jnp.mod(jnp.asarray(frame, jnp.int32) // stride, stride)
-    d = jnp.roll(dirs_ws, (-fy, -fx), (0, 1))[::stride, ::stride]
-    ll = jnp.roll(lod, (-fy, -fx), (0, 1))[::stride, ::stride]
+    ph, pw = (-h) % stride, (-w) % stride
+    d, ll = dirs_ws, lod
+    if ph or pw:
+        d = jnp.pad(d, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        ll = jnp.pad(ll, ((0, ph), (0, pw)), mode="edge")
+    hq, wq = (h + ph) // stride, (w + pw) // stride
+    d = d.reshape(hq, stride, wq, stride, 3)
+    ll = ll.reshape(hq, stride, wq, stride)
+    d = jax.lax.dynamic_index_in_dim(d, fy, 1, keepdims=False)
+    d = jax.lax.dynamic_index_in_dim(d, fx, 2, keepdims=False)
+    ll = jax.lax.dynamic_index_in_dim(ll, fy, 1, keepdims=False)
+    ll = jax.lax.dynamic_index_in_dim(ll, fx, 2, keepdims=False)
     s = sample_equirect_color(env, d, ll, quantize=quantize)
-    s = jnp.repeat(jnp.repeat(s, stride, axis=0), stride, axis=1)[:h, :w]
-    return jnp.roll(s, (fy, fx), (0, 1))
+    s = jnp.broadcast_to(
+        s[:, None, :, None, :], (hq, stride, wq, stride, 3)
+    ).reshape(hq * stride, wq * stride, 3)
+    return s[:h, :w]
 
 
 def _get_env_color(env: EquirectEnv | None, l_view, view_matrix, roughness,

@@ -125,8 +125,9 @@ def shade_direct(gbuffer: GBuffer, camera, lighting: dict,
     is_bg = gbuffer.depth >= 1.0
     if env is not None and FAST_BACKGROUND and min(h, w) >= 64:
         # half-res direction grid at pixel centers (2i + 0.5), bilinear
-        # 2x upsample (see FAST_BACKGROUND)
-        hc, wc = h // 2 + 1, w // 2 + 1
+        # 2x upsample (see FAST_BACKGROUND); ceil so odd frame dims still
+        # yield >= h/w upsampled rows/cols before the [:n] crop
+        hc, wc = -(-h // 2) + 1, -(-w // 2) + 1
         uv_c = jnp.stack(
             jnp.meshgrid(
                 (jnp.arange(wc, dtype=jnp.float32) * 2.0 + 0.5) / w,

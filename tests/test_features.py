@@ -194,3 +194,41 @@ def test_environment_auto_build_and_refresh():
         equirect_to_cube(jnp.asarray(sky_a), 8))
     img_c = np.asarray(c.render())
     assert np.isfinite(img_c).all()
+
+
+def test_odd_dimension_env_background():
+    """ADVICE r4: FAST_BACKGROUND's half-res grid must survive odd frame
+    dims (ceil sizing) — 96x65 with an env map used to raise a broadcast
+    error in the bilinear 2x upsample."""
+    scene, cam = _scene()
+    c = EffectComposer(scene, cam, 96, 65)
+    out = np.asarray(c.render())
+    assert out.shape == (65, 96, 3)
+    assert np.isfinite(out).all()
+
+
+def test_env_cache_cleared_when_environment_none():
+    """ADVICE r4: scene.environment = None must drop the id()-keyed env
+    cache so a later array recycled at the same address rebuilds."""
+    scene, cam = _scene()
+    c = EffectComposer(scene, cam, 48, 48)
+    sky = np.asarray(procedural_sky(16, 32))
+    scene.environment = sky
+    np.asarray(c.render())
+    assert c._env_cache_key is not None
+    assert c._env_raw is sky            # raw map pinned while cached
+    scene.environment = None
+    np.asarray(c.render())
+    assert c._env_cache_key is None
+    assert c._env_built is None and c._env_raw is None
+
+
+def test_superrange_sun_texel_finite_cdf():
+    """ADVICE r4: a >f16-max HDR texel must not poison cdf_packed (or the
+    mips) with inf/NaN — clipped to 65504 before f16 quantization."""
+    sky = np.asarray(procedural_sky(16, 32), np.float32).copy()
+    sky[3, 7] = 2e5
+    env = build_equirect_env(sky)
+    assert np.isfinite(np.asarray(env.cdf_packed, np.float32)).all()
+    for m in env.mips:
+        assert np.isfinite(np.asarray(m, np.float32)).all()
