@@ -140,6 +140,11 @@ def motion_blur_sweep(color: jnp.ndarray, velocity: jnp.ndarray, frame,
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
 
+    # under a mesh the rolled color plane is replicated once (see
+    # parallel.context.replicate_for_rolls) so per-step rolls stay local
+    from ..parallel.context import replicate_for_rolls
+    color_src = replicate_for_rolls(color)
+
     def body(m, carry):
         acc, wsum = carry
         row = table[m]
@@ -147,7 +152,7 @@ def motion_blur_sweep(color: jnp.ndarray, velocity: jnp.ndarray, frame,
         dx = row[1].astype(jnp.int32)
         lo, hi, d_bin = row[2], row[3], row[4]
 
-        rolled = jnp.roll(color, (-dy, -dx), (0, 1))
+        rolled = jnp.roll(color_src, (-dy, -dx), (0, 1))
         in_frame = (
             (yy + dy >= 0) & (yy + dy < h) & (xx + dx >= 0) & (xx + dx < w)
         )

@@ -204,6 +204,11 @@ def _specs(c, br, nr, nc):
     return idx_spec, halo
 
 
+#: extra halo rows beyond ky: the filter bands reach (-1 .. +2) rows
+#: around the (window-clamped) vertical target
+_HALO_EXTRA = {"nearest": 0, "bilinear": 1, "catrom": 2, "catrom5": 2}
+
+
 def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
                 fy: jnp.ndarray | None = None,
                 fx: jnp.ndarray | None = None,
@@ -218,7 +223,65 @@ def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
     tex: (H, W) or (H, W, C<=8) f32. ty/tx: (H, W) int32. fy/fx: (H, W)
     f32 fractions in [0, 1) for bilinear/catrom.
     Returns (value (H, W[, C]), in_window (H, W) bool).
+
+    Under an active row-sharding mesh (parallel.context) the kernel runs
+    per shard inside ``shard_map`` on a ppermute halo-extended block —
+    identical values (the window bound IS the halo bound), collectives
+    limited to the halo hops.
     """
+    from ...parallel.context import row_mesh_for
+
+    mesh = row_mesh_for(int(tex.shape[0]))
+    if mesh is not None:
+        return _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, mesh)
+    return _window_warp_local(tex, ty, tx, fy, fx, ky, mode)
+
+
+def _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, mesh):
+    """shard_map formulation: halo-exchange ``ky + filter-reach`` rows,
+    run the single-chip kernel on the extended block in shard-local
+    coordinates, crop. The edge-replicated halo reproduces the global
+    clamp-to-edge reads exactly (the kernel's frame clamp never binds
+    inside the halo), and the in-window flag only sees the displacement
+    ``ty - row``, which is translation-invariant."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.halo import halo_exchange_rows
+    from ...parallel.sharding import ROW_AXIS
+
+    halo = ky + _HALO_EXTRA[mode]
+    h = tex.shape[0]
+    zeros = jnp.zeros(ty.shape, jnp.float32)
+    fy = zeros if fy is None else fy
+    fx = zeros if fx is None else fx
+
+    def local(tex_b, ty_b, tx_b, fy_b, fx_b):
+        idx = _jax.lax.axis_index(ROW_AXIS)
+        h_loc = ty_b.shape[0]
+        row0 = idx * h_loc - halo
+        ext = halo_exchange_rows(tex_b, halo)
+
+        def pad(a):
+            return jnp.pad(a, ((halo, halo),) + ((0, 0),) * (a.ndim - 1),
+                           mode="edge")
+
+        val, flag = _window_warp_local(
+            ext, pad(ty_b - row0), pad(tx_b), pad(fy_b), pad(fx_b),
+            ky, mode,
+        )
+        return val[halo: halo + h_loc], flag[halo: halo + h_loc]
+
+    # check_vma=False: pallas_call out_shapes carry no vma annotation
+    return _jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ROW_AXIS),) * 5,
+        out_specs=(P(ROW_AXIS), P(ROW_AXIS)),
+        check_vma=False,
+    )(tex, ty, tx, fy, fx)
+
+
+def _window_warp_local(tex, ty, tx, fy, fx, ky, mode):
     squeeze = tex.ndim == 2
     base = tex[..., None] if squeeze else tex
     h, w = base.shape[0], base.shape[1]
@@ -334,7 +397,49 @@ def window_warp_multi(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
 
     tex: (H, W) or (H, W, C<=8) f32. ty/tx: (N, H, W) int32 targets.
     Per-tap frame clamp then window clamp like :func:`window_warp`.
-    Returns (values (N, H, W[, C]), in_window (N, H, W) bool)."""
+    Returns (values (N, H, W[, C]), in_window (N, H, W) bool).
+
+    Routes through shard_map + halo exchange under an active mesh, like
+    :func:`window_warp`."""
+    from ...parallel.context import row_mesh_for
+
+    mesh = row_mesh_for(int(tex.shape[0]))
+    if mesh is not None:
+        return _window_warp_multi_sharded(tex, ty, tx, ky, mesh)
+    return _window_warp_multi_local(tex, ty, tx, ky)
+
+
+def _window_warp_multi_sharded(tex, ty, tx, ky, mesh):
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.halo import halo_exchange_rows
+    from ...parallel.sharding import ROW_AXIS
+
+    halo = ky  # nearest mode: no filter reach beyond the window
+
+    def local(tex_b, ty_b, tx_b):
+        idx = _jax.lax.axis_index(ROW_AXIS)
+        h_loc = ty_b.shape[1]
+        row0 = idx * h_loc - halo
+        ext = halo_exchange_rows(tex_b, halo)
+
+        def pad(a):
+            return jnp.pad(a, ((0, 0), (halo, halo), (0, 0)), mode="edge")
+
+        val, flag = _window_warp_multi_local(ext, pad(ty_b - row0),
+                                             pad(tx_b), ky)
+        return val[:, halo: halo + h_loc], flag[:, halo: halo + h_loc]
+
+    return _jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ROW_AXIS), P(None, ROW_AXIS), P(None, ROW_AXIS)),
+        out_specs=(P(None, ROW_AXIS), P(None, ROW_AXIS)),
+        check_vma=False,
+    )(tex, ty, tx)
+
+
+def _window_warp_multi_local(tex, ty, tx, ky):
     squeeze = tex.ndim == 2
     base = tex[..., None] if squeeze else tex
     h, w = base.shape[0], base.shape[1]

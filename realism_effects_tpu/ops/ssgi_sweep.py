@@ -182,6 +182,10 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
         rad_packed = jax.lax.bitcast_convert_type(
             radiance.astype(jnp.float16).reshape(h, w, 2, 2), jnp.float32
         )
+    # under a mesh: rays traverse arbitrary screen distance, so the roll
+    # sources ride ONE all-gather each instead of per-step permute chains
+    from ..parallel.context import replicate_for_rolls
+    z_full, rad_packed = replicate_for_rolls(z_full, rad_packed)
 
     per_ray = []
     for l in rays:

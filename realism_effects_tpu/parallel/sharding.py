@@ -65,7 +65,13 @@ def shard_frame_fn(frame_fn, mesh: Mesh, donate_argnums=()):
     """
 
     def constrained(*args, **kwargs):
-        out = frame_fn(*args, **kwargs)
+        from .context import mesh_context
+
+        # install the mesh for the duration of tracing so mesh-aware
+        # kernels (Pallas window warps, sweep tracers) pick their
+        # sharding-clean formulations (see parallel.context)
+        with mesh_context(mesh):
+            out = frame_fn(*args, **kwargs)
         return jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, _spec_for(x, mesh)
