@@ -64,30 +64,41 @@ _Z_FAR = -3.0e38
 
 #: VMEM budget for the replicated packed texture (z + radiance): the
 #: kernel additionally holds ~30 (BR, W) planes, so cap the texture at
-#: 48 MB (1080p packs 25 MB; 4K would need 100 MB -> jnp fallback).
+#: 48 MB (1080p packs 25 MB with the radiance planes; 4K needs 100 MB
+#: -> the z-only variant below, whose 34 MB texture still fits).
 _TEX_VMEM_CAP = 48 * 1024 * 1024
 
 
-def fits_vmem(height: int, width: int) -> bool:
+def fits_vmem(height: int, width: int, channels: int = 3) -> bool:
+    """Whether the replicated texture fits the kernel's VMEM budget.
+
+    ``channels=3`` is the full variant (view-z + 2 packed-f16 radiance
+    planes, in-march hit-point gi); ``channels=1`` the z-only variant
+    (4K path: the march fits, the hit-point radiance falls back to the
+    caller's one post-trace bilinear gather per ray)."""
     hp = -(-height // _BR) * _BR
     wp = -(-width // _LANE) * _LANE
-    return 3 * (hp + 8) * wp * 4 <= _TEX_VMEM_CAP
+    return channels * (hp + 8) * wp * 4 <= _TEX_VMEM_CAP
 
 
 def _sweep_kernel(tab_ref, slo_ref, par_ref, tex_ref, planes_ref,
                   out_ref, *, n_rays: int, dirs: int, steps: int,
-                  br: int, hp: int, wp: int):
+                  br: int, hp: int, wp: int, with_gi: bool = True,
+                  miss_gi: bool = False):
     """Grid (hp // br,).
 
     tab_ref   (dirs*steps, 3) SMEM: (dy, dx, s_eff) per (dir, step)
     slo_ref   (steps,)        SMEM: bracketing previous radius (s_lo)
     par_ref   (4,)            SMEM: thickness, ray_distance, h, w
-    tex_ref   (3, hp + 8, wp) VMEM: [view-z, rad_packed0, rad_packed1]
+    tex_ref   (C, hp + 8, wp) VMEM: [view-z, rad_packed0, rad_packed1]
+              (C=3 with_gi; C=1 z-only)
     planes_ref (1 + 6*n_rays, br, wp): z0 then per ray
                [k_len, p2=w0^2, rwd=w0*wd, lz, bin, s_end]
-    out_ref   (6*n_rays, br, wp): per ray
-               [hit, s_hit, s_lo, z_d_hit, gi0, gi1]
+    out_ref   (P*n_rays, br, wp): per ray
+               [hit, s_hit, s_lo, z_d_hit(, gi0, gi1)] (P=6/4)
     """
+    n_out = 6 if with_gi else 4
+    n_tex = 3 if with_gi else 1
     i = pl.program_id(0)
     y0 = i * br
 
@@ -107,8 +118,8 @@ def _sweep_kernel(tab_ref, slo_ref, par_ref, tex_ref, planes_ref,
         ))
 
     for r in range(n_rays):
-        for p in range(6):
-            out_ref[6 * r + p] = jnp.zeros((br, wp), jnp.float32)
+        for p in range(n_out):
+            out_ref[n_out * r + p] = jnp.zeros((br, wp), jnp.float32)
 
     rr = jax.lax.broadcasted_iota(jnp.int32, (br, wp), 0) + y0
     cc = jax.lax.broadcasted_iota(jnp.int32, (br, wp), 1)
@@ -130,7 +141,7 @@ def _sweep_kernel(tab_ref, slo_ref, par_ref, tex_ref, planes_ref,
         start8 = jnp.clip(start // 8, 0, (hp - br) // 8) * 8
         fine = start - start8
         out = []
-        for ch in range(3):
+        for ch in range(n_tex):
             slab = tex_ref[ch, pl.ds(start8, _SLAB), :]
             rows = pltpu.roll(slab, (-fine) % _SLAB, axis=0)[:br]
             out.append(pltpu.roll(rows, (-dx) % wp, axis=1))
@@ -152,7 +163,8 @@ def _sweep_kernel(tab_ref, slo_ref, par_ref, tex_ref, planes_ref,
             dy = tab_ref[m, 0].astype(jnp.int32)
             dx = tab_ref[m, 1].astype(jnp.int32)
             s_dk = tab_ref[m, 2]
-            z_d, g0, g1 = fetch(dy, dx)
+            fetched = fetch(dy, dx)
+            z_d = fetched[0]
             in_frame = (
                 (rr + dy >= 0) & (rr + dy < h)
                 & (cc + dx >= 0) & (cc + dx < w)
@@ -162,8 +174,9 @@ def _sweep_kernel(tab_ref, slo_ref, par_ref, tex_ref, planes_ref,
                 sel = mine & in_frame
                 z_sel[r] = jnp.where(sel, z_d, z_sel[r])
                 s_sel[r] = jnp.where(mine, s_dk, s_sel[r])
-                g0_sel[r] = jnp.where(sel, g0, g0_sel[r])
-                g1_sel[r] = jnp.where(sel, g1, g1_sel[r])
+                if with_gi:
+                    g0_sel[r] = jnp.where(sel, fetched[1], g0_sel[r])
+                    g1_sel[r] = jnp.where(sel, fetched[2], g1_sel[r])
 
         # per-radius ray math (once per ray, on its selected bin)
         for r in range(n_rays):
@@ -177,17 +190,27 @@ def _sweep_kernel(tab_ref, slo_ref, par_ref, tex_ref, planes_ref,
             z_ray = z0 + t_s * ray["lz"]
             diff = z_sel[r] - z_ray
             cond = (diff >= 0.0) & (diff < thickness)
-            hit_prev = out_ref[6 * r + 0]
+            b = n_out * r
+            hit_prev = out_ref[b + 0]
             upd = (hit_prev < 0.5) & valid & cond
-            out_ref[6 * r + 0] = jnp.where(upd, 1.0, hit_prev)
-            out_ref[6 * r + 1] = jnp.where(upd, s, out_ref[6 * r + 1])
-            out_ref[6 * r + 2] = jnp.where(upd, s_lo_k, out_ref[6 * r + 2])
-            out_ref[6 * r + 3] = jnp.where(upd, z_sel[r],
-                                           out_ref[6 * r + 3])
-            out_ref[6 * r + 4] = jnp.where(upd, g0_sel[r],
-                                           out_ref[6 * r + 4])
-            out_ref[6 * r + 5] = jnp.where(upd, g1_sel[r],
-                                           out_ref[6 * r + 5])
+            out_ref[b + 0] = jnp.where(upd, 1.0, hit_prev)
+            out_ref[b + 1] = jnp.where(upd, s, out_ref[b + 1])
+            out_ref[b + 2] = jnp.where(upd, s_lo_k, out_ref[b + 2])
+            out_ref[b + 3] = jnp.where(upd, z_sel[r], out_ref[b + 3])
+            if with_gi:
+                if miss_gi:
+                    # track every valid in-frame step until hit: missed
+                    # lanes end holding their march-end radiance (see
+                    # ssgi_sweep.sweep_ray_march miss_radiance). The
+                    # z sentinel marks out-of-frame/unselected lanes.
+                    upd_gi = ((hit_prev < 0.5) & valid
+                              & (z_sel[r] > _Z_FAR * 0.5))
+                else:
+                    upd_gi = upd
+                out_ref[b + 4] = jnp.where(upd_gi, g0_sel[r],
+                                           out_ref[b + 4])
+                out_ref[b + 5] = jnp.where(upd_gi, g1_sel[r],
+                                           out_ref[b + 5])
         return carry
 
     jax.lax.fori_loop(0, steps, body, 0)
@@ -195,24 +218,29 @@ def _sweep_kernel(tab_ref, slo_ref, par_ref, tex_ref, planes_ref,
 
 def sweep_march_vmem(z_tex, rad_packed, table, radii_prev,
                      planes, thickness, ray_distance, n_rays: int,
-                     dirs: int, steps: int):
+                     dirs: int, steps: int, miss_gi: bool = False):
     """Run the VMEM-resident march.
 
     z_tex      (H, W) f32 view-space depth (negative z)
-    rad_packed (H, W, 2) f32 (bitcast pairs of the f16 prewarped radiance)
+    rad_packed (H, W, 2) f32 (bitcast pairs of the f16 prewarped
+               radiance), or None for the z-only variant (4K path)
     table      (dirs*steps, 3) f32 rounded (dy, dx, s_eff)
     radii_prev (steps,) f32 bracketing lower radius per step
     planes     (1 + 6*n_rays, H, W) f32 (see kernel docstring)
-    Returns (hit bool, s_hit, s_lo, z_d_hit, gi_packed (H, W, 2)) per ray
-    as a list of tuples.
+    Returns (hit bool, s_hit, s_lo, z_d_hit, gi_packed (H, W, 2) | None)
+    per ray as a list of tuples.
     """
+    with_gi = rad_packed is not None
+    n_out = 6 if with_gi else 4
     h, w = z_tex.shape
     hp = -(-h // _BR) * _BR
     wp = -(-w // _LANE) * _LANE
     ph, pw = hp - h, wp - w
 
-    tex = jnp.stack(
-        [z_tex, rad_packed[..., 0], rad_packed[..., 1]], axis=0)
+    chans = [z_tex]
+    if with_gi:
+        chans += [rad_packed[..., 0], rad_packed[..., 1]]
+    tex = jnp.stack(chans, axis=0)
     # pad rows by 8 beyond the block multiple so the kernel's 8-aligned
     # dynamic slab slice never has to clamp across a needed row
     tex = jnp.pad(tex, ((0, 0), (0, ph + 8), (0, pw)))
@@ -227,7 +255,7 @@ def sweep_march_vmem(z_tex, rad_packed, table, radii_prev,
 
     kern = functools.partial(
         _sweep_kernel, n_rays=n_rays, dirs=dirs, steps=steps,
-        br=_BR, hp=hp, wp=wp)
+        br=_BR, hp=hp, wp=wp, with_gi=with_gi, miss_gi=miss_gi)
     out = pl.pallas_call(
         kern,
         grid=(hp // _BR,),
@@ -235,14 +263,16 @@ def sweep_march_vmem(z_tex, rad_packed, table, radii_prev,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, hp + 8, wp), lambda i: (0, 0, 0),
+            pl.BlockSpec((len(chans), hp + 8, wp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((planes.shape[0], _BR, wp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((6 * n_rays, _BR, wp), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((n_out * n_rays, _BR, wp),
+                               lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((6 * n_rays, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out * n_rays, hp, wp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=False,
@@ -250,7 +280,9 @@ def sweep_march_vmem(z_tex, rad_packed, table, radii_prev,
     out = out[:, :h, :w]
     res = []
     for r in range(n_rays):
-        hit = out[6 * r + 0] > 0.5
-        gi = jnp.stack([out[6 * r + 4], out[6 * r + 5]], axis=-1)
-        res.append((hit, out[6 * r + 1], out[6 * r + 2], out[6 * r + 3], gi))
+        b = n_out * r
+        hit = out[b + 0] > 0.5
+        gi = (jnp.stack([out[b + 4], out[b + 5]], axis=-1)
+              if with_gi else None)
+        res.append((hit, out[b + 1], out[b + 2], out[b + 3], gi))
     return res

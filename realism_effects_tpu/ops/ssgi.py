@@ -400,6 +400,10 @@ def ssgi(
             bin_noise=bin_noise,
             radiance=(prewarped.astype(jnp.float32)
                       if prewarped is not None else None),
+            # missed_rays consumes the march-end radiance on missed
+            # lanes (`ssgi.frag:430-436`); the in-march gi must then
+            # keep tracking until the ray ends, not only record hits
+            miss_radiance=cfg.missed_rays,
         )
         traced = {id(r): t for r, t in zip(sweep_rays, sweep_traces)}
     else:

@@ -107,7 +107,7 @@ def _s_of_t(t, k_len, w0, wd):
 def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
                     ray_distance, dirs: int = 16, steps: int = 32,
                     min_radius: float = 1.5, bin_noise=None,
-                    radiance=None):
+                    radiance=None, miss_radiance: bool = False):
     """Trace ``rays`` (list of (H, W, 3) view-space directions) against
     the depth buffer with zero per-pixel gathers.
 
@@ -134,6 +134,16 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
     ~24 ms/ray at 1080p (CLAUDE.md rule 2b). Deviation: nearest texel at
     the *unrefined* step offset instead of bilinear at the refined
     sub-texel uv (PARITY.md, sweep-mode sampling approximations).
+
+    ``miss_radiance``: additionally keep ``gi`` updated on NOT-yet-hit
+    lanes at every valid step, so missed rays end the loop holding the
+    radiance at their march-end texel (last in-frame step within
+    ``s_end``) — the march-end accumulated fetch `ssgi.frag:430-436`
+    blends against env for ``missedRays``. Off by default: it costs two
+    extra selects per (radius, ray) in the hot kernel and only the
+    ``missed_rays`` option consumes it. (The post-trace gather path —
+    no ``radiance`` — needs no flag: it samples at the returned miss
+    uv, which already IS the march end.)
 
     On the TPU backend (1080p-class frames) the march executes inside
     the VMEM-resident Pallas kernel (`ops/pallas/sweep.py`) — identical
@@ -218,11 +228,16 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
                 if rad_packed is not None else None),
         ))
 
-    use_kernel = False
+    use_kernel = kernel_gi = False
     if jax.default_backend() == "tpu":
         from .pallas.sweep import fits_vmem, sweep_march_vmem
 
-        use_kernel = fits_vmem(h, w)
+        # full variant (in-march hit-point radiance) when z + the two
+        # packed radiance planes fit VMEM (1080p-class); z-only variant
+        # at 4K — the march still runs HBM-free, the hit-point radiance
+        # falls back to the caller's one post-trace bilinear gather/ray
+        kernel_gi = fits_vmem(h, w, 3)
+        use_kernel = kernel_gi or fits_vmem(h, w, 1)
 
     if use_kernel:
         planes = [per_ray[0]["z0"]]
@@ -235,18 +250,17 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
             [dys.reshape(-1), dxs.reshape(-1), s_eff.reshape(-1)], axis=-1)
         kout = sweep_march_vmem(
             z_full,
-            rad_packed if rad_packed is not None
-            else jnp.zeros((h, w, 2), jnp.float32),
+            rad_packed if kernel_gi else None,
             ktab, radii_prev, jnp.stack(planes, axis=0),
             thickness, ray_distance, n_rays, dirs, steps,
+            miss_gi=miss_radiance,
         )
         for r, (hit, s_raw, s_lo, z_d_hit, gi) in zip(per_ray, kout):
             r["hit"] = hit
             r["s_hit"] = s_raw
             r["s_lo_hit"] = s_lo
             r["z_d_hit"] = z_d_hit
-            if rad_packed is not None:
-                r["gi"] = gi
+            r["gi"] = gi if (rad_packed is not None and kernel_gi) else None
     else:
         def body(m, carry):
             row = table[m]
@@ -285,7 +299,14 @@ def sweep_ray_march(view_pos, rays, depth_tex, cam, frame, thickness,
                     z_d_hit=jnp.where(upd, z_d, r["z_d_hit"]),
                 )
                 if rad_s is not None:
-                    nxt["gi"] = jnp.where(upd[..., None], rad_s, r["gi"])
+                    # miss_radiance: track every valid step until hit, so
+                    # missed lanes end holding their march-end radiance
+                    # (the hit step writes the same value — superset)
+                    upd_gi = (
+                        (r["bin_idx"] == d_bin) & (~r["hit"]) & in_frame
+                        & valid
+                    ) if miss_radiance else upd
+                    nxt["gi"] = jnp.where(upd_gi[..., None], rad_s, r["gi"])
                 out.append(nxt)
             return out
 

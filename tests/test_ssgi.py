@@ -243,6 +243,70 @@ class TestSweepTrace:
         assert (np.asarray(hit_pos)[..., 0] > 1e8).all()
         assert np.isfinite(np.asarray(uv)).all()
 
+    def test_missed_rays_march_end_radiance(self):
+        """With ``miss_radiance=True`` (the ``missed_rays`` option),
+        missed rays end the sweep holding the radiance at their
+        march-end texel — the `ssgi.frag:430-436` accumulated fetch —
+        instead of zeros (round-5 gap closure, PARITY.md)."""
+        from realism_effects_tpu.ops.ssgi_sweep import sweep_ray_march
+
+        m = self._camera()
+        h = w = 64
+        depth = jnp.ones((h, w), jnp.float32)  # background -> all miss
+        view_pos = jnp.tile(
+            jnp.asarray([0.0, 0.0, -3.0], jnp.float32), (h, w, 1))
+        l = jnp.tile(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (h, w, 1))
+        # radiance ramps along x; validity channel = 1
+        xs = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.float32)[None, :] / w, (h, w))
+        rad = jnp.stack(
+            [xs, jnp.full((h, w), 0.25, jnp.float32),
+             jnp.zeros((h, w), jnp.float32),
+             jnp.ones((h, w), jnp.float32)], axis=-1)
+
+        def run(miss_radiance):
+            (uv, hit_pos, missed, gi), = sweep_ray_march(
+                view_pos, [l], depth, m, 0, 0.1, 50.0, dirs=8, steps=16,
+                radiance=rad, miss_radiance=miss_radiance)
+            return np.asarray(missed), np.asarray(gi)
+
+        missed, gi = run(True)
+        assert missed.all()
+        inner = np.s_[24:40, 4:32]  # left-half pixels, ray -> +x
+        # march end is near the right frame edge: the fetched ramp value
+        # must be well past the pixel's own x (first-step would be ~x)
+        assert (gi[inner][..., 0] > 0.8).all(), gi[inner][..., 0].min()
+        np.testing.assert_allclose(gi[inner][..., 1], 0.25, atol=2e-3)
+        assert (gi[inner][..., 3] > 0.5).all()  # validity rode along
+        # default (hit-only tracking): missed lanes hold zeros
+        _, gi_off = run(False)
+        assert (gi_off[inner] == 0.0).all()
+
+    def test_converged_default_stack_matches_march(self):
+        """The converged-stack quality gate (VERDICT r4 #6): the SHIPPED
+        default knobs — steps=20/refine=5, sweep 16x32, importance
+        sampling, env lod quantize, f16 CDF table, quad-strided env
+        fetch, nearest in-march radiance — rendered static-camera to
+        convergence, vs the march stack at the same knobs. Bounds the
+        JOINT error of every sweep-mode approximation at once
+        (`ssgi.frag:311-388` is the per-pixel-exact semantics), tighter
+        than the single-kernel 12% smoke bound below."""
+        frames = {}
+        for mode in ("march", "sweep"):
+            scene, cam = _gi_scene()
+            c = EffectComposer(scene, cam, 96, 96)
+            c.add_effect(SSGIEffect(trace=mode))  # shipped defaults
+            c.render()
+            for _ in range(31):
+                last = np.asarray(c.render())
+            frames[mode] = last
+        a, b = frames["march"], frames["sweep"]
+        assert np.isfinite(b).all() and b.min() >= 0.0
+        rel_rmse = float(np.sqrt(((a - b) ** 2).mean()) / max(a.mean(), 1e-6))
+        assert rel_rmse < 0.03, (
+            f"converged default sweep stack diverges from march: "
+            f"{rel_rmse:.4f}")
+
     def test_end_to_end_matches_march(self):
         """SSGI with trace='sweep' converges to the march's result on the
         emissive-panel scene (same hit law; direction snap integrates out
