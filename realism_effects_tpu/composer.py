@@ -266,6 +266,21 @@ class EffectComposer:
         #: (longer first compile). Measured on the TPU bench before
         #: being made the default — see README perf notes.
         self.fuse_raster = True
+        #: resolve visibility ONCE per frame: the velocity pass reuses
+        #: the G-buffer scan's winner-triangle ids instead of running its
+        #: own z-scan (the scan is ~32 of the 35 ms raster cost at
+        #: 1080p). OFF by default: under TRAA/TAA the G-buffer scan is
+        #: camera-jittered, and jitter leaking into the velocity/depth
+        #: planes makes edge pixels fail temporal disocclusion every
+        #: frame — accumulation (and therefore the AA itself) never
+        #: happens at exactly the pixels AA exists for (measured:
+        #: test_traa blended-edge count drops to 0). The reference's
+        #: unjittered VelocityDepthNormalPass exists for this reason.
+        #: Safe+fast for jitter-free pipelines — though there the two
+        #: scans' matrices are identical and XLA already CSEs the second
+        #: scan away in the fused program, so the win is small. Static:
+        #: changing it retraces.
+        self.share_visibility = False
 
     # ------------------------------------------------------------------
     def add_effect(self, effect) -> "EffectComposer":
@@ -461,11 +476,16 @@ class EffectComposer:
                 dither = blue_noise_image(hr, wr, seed)[..., 0]
             else:
                 dither = None
+            share = self.share_visibility
             gbuffer = rasterize_gbuffer(
                 packed, model_mats, cam.projection_view_matrix, hr, wr,
                 bones=bones, dither=dither, cnmf=cnmf,
                 morph_weights=morph_w, alpha_peels=self.alpha_peels,
+                return_ids=share,
             )
+            gb_ids = None
+            if share:
+                gbuffer, gb_ids = gbuffer
             velocity = rasterize_velocity(
                 packed, model_mats, prev_model_mats,
                 unjit_cam.projection_view_matrix,
@@ -474,6 +494,7 @@ class EffectComposer:
                 cnmf=cnmf, morph_weights=morph_w,
                 prev_morph_weights=prev_morph_w,
                 alpha_peels=self.alpha_peels,
+                share_ids=gb_ids,
             )
             color = shade_direct(gbuffer, cam, lighting, env)
             gi_gbuffer = None
@@ -604,6 +625,7 @@ class EffectComposer:
 
         static_sig = (
             self.alpha_peels,
+            self.share_visibility,
             # whether a restricted-re-render raster pass exists at all
             # (WHICH meshes are excluded stays a per-frame uniform)
             any(m.gi_exclude for m in self.scene.meshes),

@@ -194,6 +194,24 @@ def _visibility(clip: jnp.ndarray, faces: jnp.ndarray, height: int, width: int,
         jnp.where(w_pos, py_v.max(1) + 1.0, inf),
     ], axis=-1)                                        # (F', 4)
     sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+
+    # VMEM z-scan kernel (TPU, opaque scenes, SMEM-sized tri count):
+    # per-triangle bbox skip collapses the scan's O(H*W*F) to the
+    # triangles actually touching each block (ops/pallas/raster.py).
+    # Stochastic-alpha scenes keep the XLA scan (per-pixel dither state),
+    # as do the depth-peel passes it feeds.
+    if tri_alpha is None:
+        import jax as _jax
+
+        from ..ops.pallas.raster import fits_smem, zscan_visibility
+
+        if _jax.default_backend() == "tpu" and fits_smem(faces_p.shape[0]):
+            ids, zbuf = zscan_visibility(
+                coeffs, tri_z, tri_w, sgn, valid_tri, tri_bbox,
+                height, width,
+            )
+            return ids, jnp.where(ids >= 0, zbuf * 0.5 + 0.5, 1.0)
+
     if tri_alpha is not None:
         alpha_p = jnp.concatenate(
             [tri_alpha, jnp.ones((pad,), tri_alpha.dtype)]
@@ -565,7 +583,8 @@ def _alpha_inputs(packed: PackedScene, dither):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "alpha_peels"))
+                   static_argnames=("height", "width", "alpha_peels",
+                                    "return_ids"))
 def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
                       view_proj: jnp.ndarray, height: int, width: int,
                       bones: jnp.ndarray | None = None,
@@ -573,14 +592,17 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
                       cnmf=0.0,
                       morph_weights: jnp.ndarray | None = None,
                       alpha_peels: int = _ALPHA_PEELS,
-                      face_keep: jnp.ndarray | None = None) -> GBuffer:
+                      face_keep: jnp.ndarray | None = None,
+                      return_ids: bool = False) -> GBuffer:
     """Render the SoA G-buffer (K16 semantics: optional morph targets,
     skinning, and stochastic-alpha transparency via ``dither`` (H, W)
     noise + ``cnmf`` = cameraNotMovedFrames for the convergence law).
     ``alpha_peels`` bounds alpha-map transparency depth (static: each
     extra peel adds a raster pass). ``face_keep`` (F,) bool drops faces
     from the render entirely — the camera-layer restricted re-render
-    used by exact SSGI Selection (`SSGIPass.js:71-79`)."""
+    used by exact SSGI Selection (`SSGIPass.js:71-79`).
+    ``return_ids``: also return the (H, W) winner-triangle ids, for
+    sharing the visibility scan with `rasterize_velocity`."""
     world_pos, world_nrm = _world_transform(
         packed, model_mats, bones, morph_weights
     )
@@ -670,7 +692,7 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
                        1.0 + mat[..., 10] * (a_tex[..., 0] - 1.0), 1.0)
 
     vmask = valid[..., None]
-    return GBuffer(
+    gb = GBuffer(
         diffuse=jnp.where(vmask, diffuse, 0.0),
         normal=jnp.where(vmask, nrm, 0.0),
         roughness=jnp.where(valid, roughness, 1.0),
@@ -680,6 +702,7 @@ def rasterize_gbuffer(packed: PackedScene, model_mats: jnp.ndarray,
         mesh_id=jnp.where(valid, mesh_id, -1).astype(jnp.int32),
         ao=(jnp.where(valid, ao, 1.0) if ao is not None else None),
     )
+    return (gb, ids) if return_ids else gb
 
 
 @functools.partial(jax.jit,
@@ -693,7 +716,9 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
                        cnmf=0.0,
                        morph_weights: jnp.ndarray | None = None,
                        prev_morph_weights: jnp.ndarray | None = None,
-                       alpha_peels: int = _ALPHA_PEELS) -> VelocityBuffer:
+                       alpha_peels: int = _ALPHA_PEELS,
+                       share_ids: jnp.ndarray | None = None
+                       ) -> VelocityBuffer:
     """Render velocity/depth/normal (K17 semantics).
 
     Both view-proj matrices must be UNJITTERED, mirroring
@@ -704,6 +729,17 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
     previous position (the ``prevBoneTexture`` /
     ``morphtarget_pars_vertex`` paths,
     `VelocityDepthNormalMaterial.js:110-132`).
+
+    ``share_ids``: optional (H, W) winner-triangle ids from an already-run
+    visibility scan (the composer passes the G-buffer's). The z-scan is
+    the raster's dominant cost (~32 of 35 ms at 1080p) and the two passes
+    otherwise each run their own; sharing resolves visibility ONCE.
+    Deviation (PARITY.md): the shared scan saw the TRAA-jittered camera,
+    so at geometry edges a sub-pixel-different surface can win vs the
+    reference's unjittered velocity rasterization — all velocity VALUES
+    are still computed with the unjittered matrices, and depth comes from
+    the winner's unjittered clip planes (same formula as the scan's
+    z interpolation, hoisted per face). None = run the exact scan.
     """
     world_pos, world_nrm = _world_transform(
         packed, model_mats, bones, morph_weights
@@ -716,23 +752,31 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
     clip = _clip_positions(world_pos, view_proj)
     prev_clip = _clip_positions(prev_world_pos, prev_view_proj)
 
-    tri_alpha, alpha_tex = _alpha_inputs(packed, dither)
-    ids, depth01 = _visibility(clip, packed.faces, height, width,
-                               tri_alpha, dither, cnmf, alpha_tex,
-                               alpha_peels)
+    if share_ids is None:
+        tri_alpha, alpha_tex = _alpha_inputs(packed, dither)
+        ids, depth01 = _visibility(clip, packed.faces, height, width,
+                                   tri_alpha, dither, cnmf, alpha_tex,
+                                   alpha_peels)
+    else:
+        ids, depth01 = share_ids, None
     valid = ids >= 0
     # per-face packed record (see rasterize_gbuffer): composed numerator
     # planes for current/previous clip xyw + normals + denominator in
     # one 4-chunk fetch chain (the Σe weight normalizer cancels in the
-    # ndc ratios, so velocity needs no denominator of its own)
+    # ndc ratios, so velocity needs no denominator of its own; the
+    # shared-scan path adds the z numerator plane to rebuild depth)
     edge9 = _face_edge_coeffs(clip, packed.faces, height, width)
     xyw = lambda c: c[packed.faces][..., jnp.asarray((0, 1, 3))]
-    rec = _fetch_face_table(_pack_face_table([
+    cols = [
         _face_attr_coeffs(edge9, xyw(clip)),        # 0..8
         _face_attr_coeffs(edge9, xyw(prev_clip)),   # 9..17
         _face_attr_coeffs(edge9, world_nrm[packed.faces]),  # 18..26
         _face_denominator(edge9),                   # 27..29
-    ]), ids)
+    ]
+    if share_ids is not None:
+        cols.append(_face_attr_coeffs(
+            edge9, clip[packed.faces][..., 2:3]))   # 30..32: z numerator
+    rec = _fetch_face_table(_pack_face_table(cols), ids)
     cur = _eval_planes(rec[..., 0:9], height, width)     # (H, W, 3): x y w
     prev = _eval_planes(rec[..., 9:18], height, width)
     safe = lambda w: jnp.where(jnp.abs(w) > 1e-6, w, 1e-6)
@@ -745,6 +789,13 @@ def rasterize_velocity(packed: PackedScene, model_mats: jnp.ndarray,
         jnp.abs(den) > 1e-20, den, 1e-20
     )[..., None]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+
+    if depth01 is None:
+        # z_ndc = (Σe·z)/(Σe·w) of the winner under the UNJITTERED
+        # matrices — the same interpolation the scan evaluates
+        zc = _eval_planes(rec[..., 30:33], height, width)[..., 0]
+        z_ndc = zc / safe(cur[..., 2])
+        depth01 = jnp.where(valid, z_ndc * 0.5 + 0.5, 1.0)
 
     vmask = valid[..., None]
     return VelocityBuffer(
