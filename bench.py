@@ -414,7 +414,23 @@ def run_breakdown(roofline=False):
     animate = lambda f: _orbit(cam, f)
     # fused single-dispatch total, then per-stage with a sync per stage
     total = _measure(composer, animate)
-    stages = _measure_stages(composer, animate, WARMUP + ITERS)
+    # dual methodology (r4 VERDICT #8): also record the r3-style
+    # per-frame-synced number and the measured sync floor, so rounds
+    # with different timing methodologies stay comparable
+    floor = sync_floor_ms()
+    synced = []
+    for f in range(8):
+        animate(WARMUP + ITERS + f)
+        t0 = time.perf_counter()
+        _sync(composer.render(dt=1 / 60))
+        synced.append((time.perf_counter() - t0) * 1000.0)
+    emit({
+        "metric": "frame_ms_1080p_per_frame_synced",
+        "value": round(float(np.min(synced)), 3),
+        "unit": "ms/frame", "sync_floor_ms": round(floor, 2),
+        "vs_baseline": round(BASELINE_MS / float(np.min(synced)), 3),
+    })
+    stages = _measure_stages(composer, animate, WARMUP + ITERS + 8)
     roof = _stage_roofline(composer, stages) if roofline else {}
     for k, ms in stages.items():
         rec = {

@@ -40,8 +40,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BR = 64       # block rows
+_BR = 64       # block rows (single-batch scenes)
 _BC = 512      # block lanes
+#: multi-batch (large) scenes use finer blocks: the per-tri vector work
+#: shrinks 4x and the per-batch bbox pre-test (mesh face order is
+#: spatially local, so 4096-face batch bboxes are small) keeps the
+#: per-tri scalar floor bounded to the blocks a batch actually touches
+_BR_L = 32
+_BC_L = 256
 _NQ = 24       # scalars per triangle (23 used, padded)
 
 #: SMEM budget for the per-tri table of ONE kernel invocation. Scenes
@@ -58,61 +64,64 @@ def fits_smem(num_tris: int) -> bool:
     return num_tris <= _MAX_TRIS * _MAX_BATCHES
 
 
-def _zscan_kernel(tab_ref, par_ref, out_ref, *, n_tris: int):
-    """Grid (hp//_BR, wp//_BC).
+def _zscan_kernel(tab_ref, par_ref, out_ref, *, n_tris: int,
+                  br: int, bc: int):
+    """Grid (hp//br, wp//bc).
 
-    tab_ref (n_tris, 24) SMEM, per tri:
+    tab_ref (n_tris * 24,) SMEM (flat — a 2-D SMEM window pads its
+    minor dim to 128 lanes, 5x the real size), per tri:
       0..8   edge coefficients c00,c01,c02,c10,...,c22 (A,B,C per edge)
       9..11  A,B,C of Σe·w  (w_pix numerator)
       12..14 A,B,C of Σe·z  (z numerator)
       15..17 A,B,C of Σe    (weight normalizer)
       18     sgn (±1, the reference's winding sign)
       19..22 bbox ymin,ymax,xmin,xmax (±inf = unbounded; empty = culled)
-    par_ref (2,) SMEM: h, w (unused — blocks may extend past the frame;
-      padded-region winners are cropped by the caller)
-    out_ref (2, _BR, _BC): [z_ndc winner | winner id (f32, -1 = none)]
+    par_ref (4,) SMEM: batch bbox ymin,ymax,xmin,xmax (pixel centers) —
+      blocks outside it skip the whole triangle loop
+    out_ref (2, br, bc): [z_ndc winner | winner id (f32, -1 = none)]
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    y0 = i * _BR
-    x0 = j * _BC
+    y0 = i * br
+    x0 = j * bc
 
-    px = (jax.lax.broadcasted_iota(jnp.int32, (_BR, _BC), 1)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1)
           .astype(jnp.float32) + (jnp.float32(x0) + 0.5))
-    py = (jax.lax.broadcasted_iota(jnp.int32, (_BR, _BC), 0)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0)
           .astype(jnp.float32) + (jnp.float32(y0) + 0.5))
 
-    out_ref[0] = jnp.full((_BR, _BC), jnp.inf, jnp.float32)
-    out_ref[1] = jnp.full((_BR, _BC), -1.0, jnp.float32)
+    out_ref[0] = jnp.full((br, bc), jnp.inf, jnp.float32)
+    out_ref[1] = jnp.full((br, bc), -1.0, jnp.float32)
 
-    # block pixel-center bounds for the scalar bbox test
+    # block pixel-center bounds for the scalar bbox tests
     by0 = jnp.float32(y0) + 0.5
-    by1 = jnp.float32(y0 + _BR - 1) + 0.5
+    by1 = jnp.float32(y0 + br - 1) + 0.5
     bx0 = jnp.float32(x0) + 0.5
-    bx1 = jnp.float32(x0 + _BC - 1) + 0.5
+    bx1 = jnp.float32(x0 + bc - 1) + 0.5
 
     def body(t, carry):
-        ymin = tab_ref[t, 19]
-        ymax = tab_ref[t, 20]
-        xmin = tab_ref[t, 21]
-        xmax = tab_ref[t, 22]
+        q = t * _NQ
+        ymin = tab_ref[q + 19]
+        ymax = tab_ref[q + 20]
+        xmin = tab_ref[q + 21]
+        xmax = tab_ref[q + 22]
         overlap = ((ymin <= by1) & (ymax >= by0)
                    & (xmin <= bx1) & (xmax >= bx0))
 
         @pl.when(overlap)
         def _():
-            s = tab_ref[t, 18]
-            e0 = tab_ref[t, 0] * px + tab_ref[t, 1] * py + tab_ref[t, 2]
-            e1 = tab_ref[t, 3] * px + tab_ref[t, 4] * py + tab_ref[t, 5]
-            e2 = tab_ref[t, 6] * px + tab_ref[t, 7] * py + tab_ref[t, 8]
+            s = tab_ref[q + 18]
+            e0 = tab_ref[q + 0] * px + tab_ref[q + 1] * py + tab_ref[q + 2]
+            e1 = tab_ref[q + 3] * px + tab_ref[q + 4] * py + tab_ref[q + 5]
+            e2 = tab_ref[q + 6] * px + tab_ref[q + 7] * py + tab_ref[q + 8]
             covered = (e0 * s >= 0.0) & (e1 * s >= 0.0) & (e2 * s >= 0.0)
             covered &= ((px >= xmin) & (px <= xmax)
                         & (py >= ymin) & (py <= ymax))
-            zw = tab_ref[t, 9] * px + tab_ref[t, 10] * py + tab_ref[t, 11]
-            zc = (tab_ref[t, 12] * px + tab_ref[t, 13] * py
-                  + tab_ref[t, 14])
-            se = (tab_ref[t, 15] * px + tab_ref[t, 16] * py
-                  + tab_ref[t, 17])
+            zw = tab_ref[q + 9] * px + tab_ref[q + 10] * py + tab_ref[q + 11]
+            zc = (tab_ref[q + 12] * px + tab_ref[q + 13] * py
+                  + tab_ref[q + 14])
+            se = (tab_ref[q + 15] * px + tab_ref[q + 16] * py
+                  + tab_ref[q + 17])
             se_safe = jnp.where(jnp.abs(se) > 1e-20, se, 1e-20)
             w_pix = zw / se_safe
             covered &= w_pix > 1e-6
@@ -125,7 +134,12 @@ def _zscan_kernel(tab_ref, par_ref, out_ref, *, n_tris: int):
                                    out_ref[1])
         return carry
 
-    jax.lax.fori_loop(0, n_tris, body, 0)
+    batch_hit = ((par_ref[0] <= by1) & (par_ref[1] >= by0)
+                 & (par_ref[2] <= bx1) & (par_ref[3] >= bx0))
+
+    @pl.when(batch_hit)
+    def _():
+        jax.lax.fori_loop(0, n_tris, body, 0)
 
 
 def zscan_visibility(coeffs, tri_z, tri_w, sgn, valid, tri_bbox,
@@ -161,38 +175,52 @@ def zscan_visibility(coeffs, tri_z, tri_w, sgn, valid, tri_bbox,
         jnp.zeros((f, _NQ - 23), jnp.float32),
     ], axis=-1)
 
-    hp = -(-height // _BR) * _BR
-    wp = -(-width // _BC) * _BC
-    params = jnp.asarray([height, width], jnp.float32)
-
-    # pad to a batch multiple with culled (empty-bbox) rows so every
-    # invocation shares ONE kernel shape, then min-combine the batches
-    # (strict < keeps the earlier batch on ties — the scan's rule)
+    # single batch: table at its true size, coarse blocks; multi batch:
+    # pad with culled (empty-bbox) rows so every invocation shares ONE
+    # kernel shape, fine blocks + per-batch bbox pre-test, then
+    # min-combine the batches (strict < keeps the earlier batch on ties
+    # — the scan's rule)
     n_batch = -(-f // _MAX_TRIS)
-    fp = n_batch * _MAX_TRIS
+    bt = f if n_batch == 1 else _MAX_TRIS
+    br, bc = (_BR, _BC) if n_batch == 1 else (_BR_L, _BC_L)
+    fp = n_batch * bt
     if fp != f:
         padrow = jnp.zeros((fp - f, _NQ), jnp.float32)
         padrow = padrow.at[:, 19].set(inf).at[:, 20].set(-inf)
         padrow = padrow.at[:, 21].set(inf).at[:, 22].set(-inf)
         tab = jnp.concatenate([tab, padrow], axis=0)
+    # per-batch bbox for the kernel's whole-loop skip (mesh face order
+    # is spatially local, so consecutive-face batches have small boxes;
+    # a w-crossing tri's ±inf makes its batch conservative, culled pads'
+    # empty boxes drop out of the reduction)
+    bb = tab.reshape(n_batch, bt, _NQ)
+    batch_bbox = jnp.stack([
+        bb[:, :, 19].min(axis=1), bb[:, :, 20].max(axis=1),
+        bb[:, :, 21].min(axis=1), bb[:, :, 22].max(axis=1),
+    ], axis=-1)
+    tab = tab.reshape(-1)
 
-    kern = functools.partial(_zscan_kernel, n_tris=_MAX_TRIS)
+    hp = -(-height // br) * br
+    wp = -(-width // bc) * bc
+
+    kern = functools.partial(_zscan_kernel, n_tris=bt, br=br, bc=bc)
     call = functools.partial(
         pl.pallas_call, kern,
-        grid=(hp // _BR, wp // _BC),
+        grid=(hp // br, wp // bc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((2, _BR, _BC), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((2, br, bc), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
     )
     zbuf = idsf = None
     for b in range(n_batch):
-        out = call()(tab[b * _MAX_TRIS: (b + 1) * _MAX_TRIS], params)
+        out = call()(tab[b * bt * _NQ: (b + 1) * bt * _NQ],
+                     batch_bbox[b])
         zb, idb = out[0], out[1]
-        idb = jnp.where(idb >= 0.0, idb + jnp.float32(b * _MAX_TRIS), -1.0)
+        idb = jnp.where(idb >= 0.0, idb + jnp.float32(b * bt), -1.0)
         if zbuf is None:
             zbuf, idsf = zb, idb
         else:
