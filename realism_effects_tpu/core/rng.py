@@ -160,7 +160,22 @@ def blue_noise_transform(height: int, width: int, index, fn,
     if tile is None:
         tile = jnp.asarray(blue_noise_tile())
     size = tile.shape[0]
-    out_tile = fn(tile)
+    rolled = rolled_noise_tile(index, row_offset=row_offset,
+                               col_offset=col_offset, tile=fn(tile))
+    reps_y = -(-height // size)
+    reps_x = -(-width // size)
+    return jnp.tile(rolled, (reps_y, reps_x, 1))[:height, :width]
+
+
+def rolled_noise_tile(index, row_offset=0, col_offset=0,
+                      tile: jnp.ndarray | None = None) -> jnp.ndarray:
+    """The pre-rolled (S, S, C) tile T with
+    ``blue_noise_image(h, w, index, row_offset=r0)[y, x] ==
+    T[y % S, x % S]`` — the form Pallas kernels consume directly when
+    their block rows align with the tile period (no per-pixel gather)."""
+    if tile is None:
+        tile = jnp.asarray(blue_noise_tile())
+    size = tile.shape[0]
     index = jnp.asarray(index, jnp.uint32)
     seed = jnp.stack(
         [
@@ -179,10 +194,7 @@ def blue_noise_transform(height: int, width: int, index, fn,
     sy = jnp.mod(
         shift[1].astype(jnp.int32) + jnp.asarray(row_offset, jnp.int32), size
     )
-    rolled = jnp.roll(out_tile, shift=(-sy, -sx), axis=(0, 1))
-    reps_y = -(-height // size)
-    reps_x = -(-width // size)
-    return jnp.tile(rolled, (reps_y, reps_x, 1))[:height, :width]
+    return jnp.roll(tile, shift=(-sy, -sx), axis=(0, 1))
 
 
 def jax_broadcast_iota(height: int, width: int) -> jnp.ndarray:

@@ -77,6 +77,13 @@ class AOConfig:
 #: (tests/test_ao_parity.py) pins the gather path explicitly.
 USE_WINDOW_WARP = True
 
+#: fuse the entire HBAO loop (noise, hemisphere sampling, projection,
+#: window depth fetch, occlusion integral) into one VMEM-resident Pallas
+#: kernel (ops/pallas/hbao.py). Same window-clamped semantics as
+#: USE_WINDOW_WARP; values differ from the jnp formulation only by
+#: transcendental ULPs (tests/test_ao_fused.py pins the error)
+USE_FUSED_KERNEL = True
+
 
 def depth_world_normals(depth: jnp.ndarray, cam) -> jnp.ndarray:
     """World normals from the depth buffer via the 9-tap curvature-aware
@@ -189,6 +196,17 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
         world_normal = depth_world_normals(depth, cam)
     else:
         world_normal = normal
+
+    from .pallas.stencil import _use_interpret
+
+    if (USE_FUSED_KERNEL and USE_WINDOW_WARP and cfg.window_ky <= 64
+            and not _use_interpret()):
+        # interpret-mode (non-TPU) fused evaluation is reserved for the
+        # dedicated parity tests (pathological XLA:CPU compile times);
+        # the CPU path keeps the jnp + window-warp formulation below
+        from .pallas.hbao import hbao_fused
+
+        return world_normal, hbao_fused(depth, world_normal, cam, frame, cfg)
 
     cam_pos = cam.position
     proj_view = cam.projection_view_matrix

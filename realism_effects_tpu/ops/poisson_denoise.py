@@ -95,6 +95,17 @@ def poisson_denoise_pass(
     against (`poisson_denoise.frag:190`: offsets are rotated in uv space,
     so the pixel-space pattern depends on the full-image aspect); sharded
     blocks pass the unsharded size, default is this block's own shape."""
+    from .pallas import poisson as fused_mod
+
+    hg_, wg_ = resolution if resolution is not None else gbuffer.depth.shape
+    if fused_mod.USE_FUSED_PASS and fused_mod.fused_pass_supported(
+        cfg, len(textures), int(hg_), int(wg_)
+    ):
+        return fused_mod.poisson_pass_fused(
+            textures, gbuffer, noise_index, cfg,
+            row_offset=row_offset, resolution=resolution,
+        )
+
     h, w = gbuffer.depth.shape
     depth = gbuffer.depth
     # the reference reads normals through the packed G-buffer's

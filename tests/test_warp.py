@@ -183,13 +183,18 @@ def test_hbao_window_path_equality():
     cfg = ao.AOConfig(spp=8, distance=0.05, window_ky=32)
 
     old = ao.USE_WINDOW_WARP
+    old_fused = ao.USE_FUSED_KERNEL
     try:
+        # the fully-fused kernel is pinned separately (test_ao_fused.py,
+        # ULP-tolerance); this fixture asserts the jnp window path exact
+        ao.USE_FUSED_KERNEL = False
         ao.USE_WINDOW_WARP = True
         _, got = ao.hbao(depth, normal, m, 3, cfg)
         ao.USE_WINDOW_WARP = False
         _, want = ao.hbao(depth, normal, m, 3, cfg)
     finally:
         ao.USE_WINDOW_WARP = old
+        ao.USE_FUSED_KERNEL = old_fused
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 

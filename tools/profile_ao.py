@@ -73,10 +73,32 @@ def main():
         print(f"{name:40s} {best:8.2f} ms")
         return best
 
-    # 1. the full HBAO kernel
-    timeit(f"hbao (spp=8, ky={ky})",
+    # 1. the full HBAO kernel (fused Pallas vs jnp+window paths)
+    timeit(f"hbao fused (spp=8, ky={ky})",
            lambda d, n, f: ao_mod.hbao(d, n, cams, f, cfg),
            depth, normal, frame)
+
+    def hbao_unfused(d, n, f):
+        old = ao_mod.USE_FUSED_KERNEL
+        ao_mod.USE_FUSED_KERNEL = False
+        try:
+            return ao_mod.hbao(d, n, cams, f, cfg)
+        finally:
+            ao_mod.USE_FUSED_KERNEL = old
+
+    timeit(f"hbao jnp+window (spp=8, ky={ky})", hbao_unfused,
+           depth, normal, frame)
+
+    # 1b. the AO Poisson denoise alone
+    from realism_effects_tpu.ops.poisson_denoise import (
+        PoissonDenoiseConfig, poisson_denoise_ao,
+    )
+    dn_cfg = PoissonDenoiseConfig()
+    ao_plane = jax.device_put(jnp.clip(gb.depth * 0.9, 0.0, 1.0))
+    _ = float(jnp.max(ao_plane))
+    timeit("poisson_denoise_ao (1 iter)",
+           lambda a, n, f: poisson_denoise_ao(a, n, gb, f, dn_cfg),
+           ao_plane, normal, frame)
 
     # 2. sample setup only (noise + hemisphere + project), no fetch
     def setup_only(d, n, f):
