@@ -60,9 +60,13 @@ class AOConfig:
     animated_noise: bool = True
     #: use G-buffer normals instead of depth-derived ones
     use_normal_texture: bool = True
-    #: vertical half-window (rows) for the Pallas window-warp depth taps
-    #: (see USE_WINDOW_WARP below); horizontal reach is +-127 px
+    #: sampling window for the Pallas window-warp depth taps (see
+    #: USE_WINDOW_WARP below): +-window_ky rows x +-window_kx columns,
+    #: isotropic by default (the r4 window was +-32 rows x +-127 cols;
+    #: kx <= 32 admits the 2x cheaper lane-split gather — PARITY.md
+    #: sweep-mode approximations)
     window_ky: int = 32
+    window_kx: int = 32
 
 
 #: route HBAO's per-sample depth fetches through the multi-target Pallas
@@ -234,12 +238,20 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
     # DepthTexture defaults, bound at `AOEffect.js:44`) — all spp taps
     # resolved by ONE multi-target window kernel (see USE_WINDOW_WARP)
     if USE_WINDOW_WARP:
-        from .pallas.warp import nearest_window_multi
+        from .pallas.warp import window_warp_multi
 
         uvs = jnp.stack([uv_ for _, _, uv_ in dirs_pos_uv], axis=0)
-        sample_depths, _ = nearest_window_multi(
-            depth, uvs, ky=cfg.window_ky
+        # pre-clamp the horizontal displacement to the isotropic window
+        # (the kernel's own lane window is +-127; the fused kernel and
+        # this path share the +-window_kx law)
+        ix = jnp.floor(uvs[..., 0] * w).astype(jnp.int32)
+        iy = jnp.floor(uvs[..., 1] * h).astype(jnp.int32)
+        xs = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        ix = xs + jnp.clip(
+            jnp.clip(ix, 0, w - 1) - xs, -cfg.window_kx, cfg.window_kx
         )
+        sample_depths, _ = window_warp_multi(depth, iy, ix,
+                                             ky=cfg.window_ky)
     else:
         sample_depths = None
 

@@ -55,18 +55,8 @@ _ROW0 = 55          # global row of local row 0 (sharded blocks)
 _NPARAMS = 56
 
 
-def _gather_h(row_v, lq, lr):
-    """(br, 3*BC) slab row fetched at per-pixel lane (group lq, lane lr)."""
-    out = None
-    for d in (-1, 0, 1):
-        grp = row_v[:, BC * (1 + d): BC * (1 + d) + BC]
-        g = jnp.take_along_axis(grp, lr, axis=1)
-        out = g if out is None else jnp.where(lq == d, g, out)
-    return out
-
-
-def _hbao_kernel(params_ref, nrm_ref, noise_ref, *refs, ky: int, spp: int,
-                 h: int, w: int):
+def _hbao_kernel(params_ref, nrm_ref, noise_ref, *refs, ky: int, kx: int,
+                 spp: int, h: int, w: int):
     """Grid (NR, NC). refs: 9 halo blocks of the (1, H', W') depth plane,
     then the (1, br, BC) AO output block."""
     srcs = refs[:9]
@@ -163,15 +153,19 @@ def _hbao_kernel(params_ref, nrm_ref, noise_ref, *refs, ky: int, spp: int,
         iyt = jnp.floor(suy * h).astype(jnp.int32)
 
         # nearest window targets (`warp.py::_warp_multi_kernel` semantics:
-        # window clamp, then global frame clamp, then window clamp)
+        # window clamp, then global frame clamp, then window clamp);
+        # horizontal clamp is the isotropic +-kx (<= 32), which admits the
+        # two-window lane-split gather below
         dy = (iyt - row0) - rr_l
         dyv = jnp.clip(
             jnp.clip(jnp.clip(dy, -ky, ky), -rr_g, (h - 1) - rr_g),
             -ky, ky,
         )
-        dxk = jnp.clip(jnp.clip(ixt, 0, w - 1) - cc, -(BC - 1), BC - 1)
+        dxk = jnp.clip(jnp.clip(ixt, 0, w - 1) - cc, -kx, kx)
         txa = jj + dxk + BC
-        tgts.append((dyv, txa // BC - 1, txa % BC))
+        lr1 = jnp.clip(txa - (BC - kx), 0, BC - 1)
+        lr2 = jnp.clip(txa - (BC + 64 - kx), 0, BC - 1)
+        tgts.append((dyv, lr1, lr2))
 
         thetas.append(nx * dx_ + ny * dy_ + nz * dz_)
         ddx = spx - cpx
@@ -180,18 +174,30 @@ def _hbao_kernel(params_ref, nrm_ref, noise_ref, *refs, ky: int, spp: int,
         dists.append(jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz))
 
     # ---- sample depths from the in-VMEM halo slab ----------------------
+    # two-window lane-split gather (see ops/pallas/poisson.py): a target
+    # lane of output lane jj < 64 lies in slab lanes [BC-kx, 2BC-kx),
+    # jj >= 64 in [BC+64-kx, ...) — 2 lane-rotations per slab row shared
+    # by all spp samples, then 2 vgathers + 1 static-mask select each
     rows3 = [
         jnp.concatenate([srcs[3 * r + cg][0] for cg in range(3)], axis=1)
         for r in range(3)
     ]
     slab = jnp.concatenate(rows3, axis=0)    # (3*br, 3*BC)
+    left_half = jj < 64
+    o1, o2 = BC - kx, BC + 64 - kx
 
     sdepth = [jnp.zeros((br, BC), jnp.float32) for _ in range(spp)]
     for v in range(-ky, ky + 1):
         row_v = slab[br + v: br + v + br]
+        w1 = row_v[:, o1: o1 + BC]
+        w2 = row_v[:, o2: o2 + BC]
         for s_i in range(spp):
-            dyv, lq, lr = tgts[s_i]
-            g = _gather_h(row_v, lq, lr)
+            dyv, lr1, lr2 = tgts[s_i]
+            g = jnp.where(
+                left_half,
+                jnp.take_along_axis(w1, lr1, axis=1),
+                jnp.take_along_axis(w2, lr2, axis=1),
+            )
             sdepth[s_i] = jnp.where(dyv == v, g, sdepth[s_i])
 
     # ---- occlusion integral (`hbao.frag:80-115` via ops/ao.py) ---------
@@ -257,17 +263,20 @@ def hbao_fused(depth: jnp.ndarray, normal: jnp.ndarray, cam, frame,
     from ...parallel.context import row_mesh_for
 
     ky = int(cfg.window_ky)
+    kx = int(cfg.window_kx)
     assert ky <= _BR, "fused HBAO window exceeds the block height"
+    assert kx <= 32, "fused HBAO lane-split window needs kx <= 32"
     noise = rolled_noise_tiles(cfg.spp, frame, cfg.animated_noise)
     mesh = row_mesh_for(int(depth.shape[0]))
     if mesh is not None:
-        return _hbao_fused_sharded(depth, normal, noise, cam, cfg, ky, mesh)
+        return _hbao_fused_sharded(depth, normal, noise, cam, cfg, ky, kx,
+                                   mesh)
     params = _params_vec(cam, cfg, 0)
-    return _hbao_fused_local(depth, normal, params, noise, ky, cfg.spp,
+    return _hbao_fused_local(depth, normal, params, noise, ky, kx, cfg.spp,
                              depth.shape[0], depth.shape[1])
 
 
-def _hbao_fused_sharded(depth, normal, noise, cam, cfg, ky, mesh):
+def _hbao_fused_sharded(depth, normal, noise, cam, cfg, ky, kx, mesh):
     from jax.sharding import PartitionSpec as P
 
     from ...parallel.halo import halo_exchange_rows
@@ -284,8 +293,8 @@ def _hbao_fused_sharded(depth, normal, noise, cam, cfg, ky, mesh):
         # re-base the noise tiles so tile row 0 is local row 0's noise
         noise_l = jnp.roll(noise_b, -jnp.mod(row0, _TILE), axis=1)
         params = _params_vec(cam, cfg, row0)
-        ao = _hbao_fused_local(ext, nrm_ext, params, noise_l, ky, cfg.spp,
-                               h, w)
+        ao = _hbao_fused_local(ext, nrm_ext, params, noise_l, ky, kx,
+                               cfg.spp, h, w)
         return ao[ky: ky + h_loc]
 
     return jax.shard_map(
@@ -296,7 +305,7 @@ def _hbao_fused_sharded(depth, normal, noise, cam, cfg, ky, mesh):
     )(depth, normal, noise)
 
 
-def _hbao_fused_local(depth, normal, params, noise, ky, spp, h_g, w_g):
+def _hbao_fused_local(depth, normal, params, noise, ky, kx, spp, h_g, w_g):
     h, w = depth.shape
     planar_d = _pad_hw(depth[None], _BR, BC)
     planar_n = _pad_hw(jnp.moveaxis(normal, -1, 0), _BR, BC)
@@ -314,7 +323,8 @@ def _hbao_fused_local(depth, normal, params, noise, ky, spp, h_g, w_g):
     noise_spec = pl.BlockSpec((3 * spp, _BR, _TILE),
                               lambda i, j: (0, i % (_TILE // _BR), 0),
                               memory_space=pltpu.VMEM)
-    kern = functools.partial(_hbao_kernel, ky=ky, spp=spp, h=h_g, w=w_g)
+    kern = functools.partial(_hbao_kernel, ky=ky, kx=kx, spp=spp, h=h_g,
+                             w=w_g)
     ao = pl.pallas_call(
         kern,
         grid=(nr, nc),

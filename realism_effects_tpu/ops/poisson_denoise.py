@@ -86,6 +86,7 @@ def poisson_denoise_pass(
     cfg: PoissonDenoiseConfig,
     row_offset=0,
     resolution: tuple | None = None,
+    scalar_slots: tuple | None = None,
 ):
     """One 8-tap pass over all texture slots. (H, W, 4) in/out per slot.
 
@@ -104,6 +105,7 @@ def poisson_denoise_pass(
         return fused_mod.poisson_pass_fused(
             textures, gbuffer, noise_index, cfg,
             row_offset=row_offset, resolution=resolution,
+            scalar_slots=scalar_slots,
         )
 
     h, w = gbuffer.depth.shape
@@ -296,6 +298,7 @@ def poisson_denoise(
     cfg: PoissonDenoiseConfig,
     row_offset=0,
     resolution: tuple | None = None,
+    scalar_slots: tuple | None = None,
 ):
     """Full denoise: 2*iterations sequential passes (the ping-pong A/B
     scheme of `PoissonDenoisePass.js:135-149` expressed as a loop carry).
@@ -305,6 +308,7 @@ def poisson_denoise(
         out = poisson_denoise_pass(
             out, gbuffer, jnp.asarray(frame) * 2 * cfg.iterations + p, cfg,
             row_offset=row_offset, resolution=resolution,
+            scalar_slots=scalar_slots,
         )
     return out
 
@@ -322,5 +326,9 @@ def poisson_denoise_ao(ao: jnp.ndarray, normal: jnp.ndarray,
         axis=-1,
     )
     cfg1 = dataclasses.replace(cfg, is_specular=(False,))
-    (out,) = poisson_denoise([tex], gbuffer, frame, cfg1)
+    # the replicated-scalar structure survives every pass (identical rgb
+    # in -> identical rgb out), so the fused kernel may carry ONE packed
+    # channel per slot instead of two
+    (out,) = poisson_denoise([tex], gbuffer, frame, cfg1,
+                             scalar_slots=(True,))
     return jnp.clip(out[..., 0], 0.0, 1.0)

@@ -76,14 +76,22 @@ def test_fused_pass_two_textures():
 
 
 def test_fused_pass_ao_path():
-    """AO-shaped input (scalar replicated to rgb, zero alpha)."""
+    """AO-shaped input (scalar replicated to rgb, zero alpha) through the
+    single-packed-channel scalar-slot path (poisson_denoise_ao wiring)."""
     texs, gb = _inputs(64, 128, 1, seed=3)
-    ao = texs[0][..., :1].repeat(3, axis=-1)
-    tex = jnp.concatenate([ao, jnp.zeros_like(ao[..., :1])], axis=-1)
+    ao = jnp.clip(texs[0][..., 0], 0.0, 1.0)
     cfg = pd.PoissonDenoiseConfig(is_specular=(False,))
-    got, want = _run_both([tex], gb, cfg)
+
+    old = fused.USE_FUSED_PASS
+    try:
+        fused.USE_FUSED_PASS = False
+        want = pd.poisson_denoise_ao(ao, gb.normal, gb, 5, cfg)
+        fused.USE_FUSED_PASS = True
+        got = pd.poisson_denoise_ao(ao, gb.normal, gb, 5, cfg)
+    finally:
+        fused.USE_FUSED_PASS = old
     np.testing.assert_allclose(
-        np.asarray(got[0]), np.asarray(want[0]), atol=5e-4, rtol=5e-4,
+        np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3,
     )
 
 
