@@ -251,7 +251,8 @@ def hbao(depth: jnp.ndarray, normal: jnp.ndarray | None, cam, frame,
             jnp.clip(ix, 0, w - 1) - xs, -cfg.window_kx, cfg.window_kx
         )
         sample_depths, _ = window_warp_multi(depth, iy, ix,
-                                             ky=cfg.window_ky)
+                                             ky=cfg.window_ky,
+                                             kx=cfg.window_kx)
     else:
         sample_depths = None
 

@@ -140,33 +140,69 @@ def motion_blur_sweep(color: jnp.ndarray, velocity: jnp.ndarray, frame,
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
 
+    # roll source: (r,g) and (b,0) as two half2x16 channels — the input
+    # IS the composer's HalfFloat framebuffer (the gather path samples it
+    # with half=True), so f16 texels are the spec storage, and each
+    # whole-frame roll moves 2/3 of the f32 bytes
+    from ..core.packing import pack_half2x16, unpack_half2x16
+    color16 = jnp.stack(
+        [pack_half2x16(color[..., 0:2]),
+         pack_half2x16(jnp.concatenate(
+             [color[..., 2:3], jnp.zeros_like(color[..., 2:3])], -1))],
+        axis=-1,
+    )
     # under a mesh the rolled color plane is replicated once (see
     # parallel.context.replicate_for_rolls) so per-step rolls stay local
     from ..parallel.context import replicate_for_rolls
-    color_src = replicate_for_rolls(color)
+    color_src = replicate_for_rolls(color16)
+
+    # K cells per fori step: the accumulator read-modify-write (f32 rgb +
+    # weight, ~64 MB/update at 1080p) amortizes over K rolls instead of
+    # paying per cell — the loop was accumulator-bandwidth-bound
+    k_batch = 8
+    n_cells = dirs * steps
+    pad_c = (-n_cells) % k_batch
+    if pad_c:
+        # zero rows carry lo == hi == 0 -> weight 0 (u_pos/u_neg >= 0)
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad_c, table.shape[1]), table.dtype)], 0
+        )
 
     def body(m, carry):
         acc, wsum = carry
-        row = table[m]
-        dy = row[0].astype(jnp.int32)
-        dx = row[1].astype(jnp.int32)
-        lo, hi, d_bin = row[2], row[3], row[4]
-
-        rolled = jnp.roll(color_src, (-dy, -dx), (0, 1))
-        in_frame = (
-            (yy + dy >= 0) & (yy + dy < h) & (xx + dx >= 0) & (xx + dx < w)
+        rows = jax.lax.dynamic_slice(
+            table, (m * k_batch, 0), (k_batch, table.shape[1])
         )
-        # cell-overlap weight per side, on the side whose bin matches
-        w_pos = jnp.clip(jnp.minimum(u_pos, hi) - lo, 0.0, None) \
-            * (bin_pos == d_bin)
-        w_neg = jnp.clip(jnp.minimum(u_neg, hi) - lo, 0.0, None) \
-            * (bin_neg == d_bin)
-        wgt = (w_pos + w_neg) * in_frame
-        return acc + rolled * wgt[..., None], wsum + wgt
+        for t in range(k_batch):
+            row = rows[t]
+            dy = row[0].astype(jnp.int32)
+            dx = row[1].astype(jnp.int32)
+            lo, hi, d_bin = row[2], row[3], row[4]
+
+            rolled = jnp.roll(color_src, (-dy, -dx), (0, 1))
+            rg = unpack_half2x16(rolled[..., 0])
+            b = unpack_half2x16(rolled[..., 1])[..., 0]
+            in_frame = (
+                (yy + dy >= 0) & (yy + dy < h)
+                & (xx + dx >= 0) & (xx + dx < w)
+            )
+            # cell-overlap weight per side, on the side whose bin matches
+            w_pos = jnp.clip(jnp.minimum(u_pos, hi) - lo, 0.0, None) \
+                * (bin_pos == d_bin)
+            w_neg = jnp.clip(jnp.minimum(u_neg, hi) - lo, 0.0, None) \
+                * (bin_neg == d_bin)
+            wgt = (w_pos + w_neg) * in_frame
+            acc = acc + jnp.concatenate(
+                [rg, b[..., None]], axis=-1
+            ) * wgt[..., None]
+            wsum = wsum + wgt
+        return acc, wsum
 
     acc0 = jnp.zeros_like(color)
     wsum0 = jnp.zeros(color.shape[:2], jnp.float32)
-    acc, wsum = jax.lax.fori_loop(0, dirs * steps, body, (acc0, wsum0))
+    acc, wsum = jax.lax.fori_loop(
+        0, (n_cells + pad_c) // k_batch, body, (acc0, wsum0)
+    )
 
     # center: the near-origin sliver both sides leave uncovered when the
     # extent is shorter than cell 0, plus the reference's double-counted

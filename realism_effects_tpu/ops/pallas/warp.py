@@ -89,9 +89,16 @@ def _crw(f):
 
 
 def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
-                 mode: str, c: int, h: int, w: int):
+                 kx: int | None, mode: str, c: int, h: int, w: int):
     """Grid (NR, NC). refs: 9 halo blocks of the planar (C, H', W') texture
-    then (value_out, flag_out)."""
+    then (value_out, flag_out).
+
+    ``kx``: horizontal half-window. None = the full +-127 lane window
+    (3-group gather: 3 vgathers + 3 selects per tap). When the caller
+    bounds the displacement so ``kx + filter reach <= 32``, the fetch
+    uses the two-window lane-split instead (2 static lane rotations per
+    slab row shared by every tap, then 2 vgathers + 1 static-mask select
+    each — vgathers cost ~4-5 cycles/vreg on v5e, selects ~1)."""
     srcs = refs[:9]
     val_ref, flag_ref = refs[9], refs[10]
     i = pl.program_id(0)
@@ -107,11 +114,15 @@ def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
     rr = i * br + ii
     cc = j * BC + jj
 
+    kxw = BC - 1 if kx is None else kx + _HALO_EXTRA[mode]
+    assert kx is None or kxw <= 32, "lane-split window needs kx+reach <= 32"
+
     dy = ty - rr
     dx = tx - cc
-    in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= BC - 1)
+    in_window = (jnp.abs(dy) <= ky) & (
+        jnp.abs(dx) <= (BC - 1 if kx is None else kx)
+    )
     dyc = jnp.clip(dy, -ky, ky)
-    dxc = jnp.clip(dx, -(BC - 1), BC - 1)
 
     band_off = _BAND_OFF[mode]
     tap_off = _TAP_OFF[mode]
@@ -127,10 +138,16 @@ def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
     ]
 
     # per-tap horizontal slab coordinates: frame clamp then window clamp
+    left_half = jj < 64
+    o1, o2 = BC - kxw, BC + 64 - kxw
+
     def tap_idx(k):
-        dxk = jnp.clip(jnp.clip(tx + k, 0, w - 1) - cc, -(BC - 1), BC - 1)
+        dxk = jnp.clip(jnp.clip(tx + k, 0, w - 1) - cc, -kxw, kxw)
         txa = jj + dxk + BC          # slab lane in [1, 3*BC)
-        return txa // BC - 1, txa % BC  # (group delta {-1,0,1}, lane)
+        if kx is None:
+            return txa // BC - 1, txa % BC  # (group delta, lane)
+        return (jnp.clip(txa - o1, 0, BC - 1),
+                jnp.clip(txa - o2, 0, BC - 1))
 
     taps = [tap_idx(k) for k in tap_off]
 
@@ -147,7 +164,7 @@ def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
         wx = _crw(fx_ref[...])
         wy = _crw(fy_ref[...])
 
-    def gather_h(slab_row, lq, lr):
+    def gather_3g(slab_row, lq, lr):
         """slab_row (br, 3*BC) fetched at per-pixel lane (lq, lr)."""
         out = None
         for d in (-1, 0, 1):
@@ -167,11 +184,21 @@ def _warp_kernel(ty_ref, tx_ref, fy_ref, fx_ref, *refs, ky: int,
         acc = jnp.zeros((br, BC), jnp.float32)
         for v in range(v_lo, v_hi + 1):
             row_v = slab[br + v: br + v + br]   # static slice (br, 3*BC)
+            if kx is None:
+                gather_h = functools.partial(gather_3g, row_v)
+            else:
+                w1 = row_v[:, o1: o1 + BC]
+                w2 = row_v[:, o2: o2 + BC]
+                gather_h = lambda lr1, lr2, w1=w1, w2=w2: jnp.where(
+                    left_half,
+                    jnp.take_along_axis(w1, lr1, axis=1),
+                    jnp.take_along_axis(w2, lr2, axis=1),
+                )
             if mode == "nearest":
-                hrow = gather_h(row_v, *taps[0])
+                hrow = gather_h(*taps[0])
                 hrow_mid = None
             else:
-                gs = [gather_h(row_v, *taps[k]) for k in range(len(taps))]
+                gs = [gather_h(*taps[k]) for k in range(len(taps))]
                 hrow = None
                 for k in range(len(taps)):
                     g = gs[k] * wx[k]
@@ -212,7 +239,8 @@ _HALO_EXTRA = {"nearest": 0, "bilinear": 1, "catrom": 2, "catrom5": 2}
 def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
                 fy: jnp.ndarray | None = None,
                 fx: jnp.ndarray | None = None,
-                ky: int = _DEF_KY, mode: str = "nearest"):
+                ky: int = _DEF_KY, mode: str = "nearest",
+                kx: int | None = None):
     """Fetch ``tex`` at per-pixel integer target (ty, tx) (+ fraction for
     filtered modes). Each filter tap is clamped into the frame
     (GL clamp-to-edge — so out-of-frame targets reproduce a clamped
@@ -233,11 +261,11 @@ def window_warp(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
 
     mesh = row_mesh_for(int(tex.shape[0]))
     if mesh is not None:
-        return _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, mesh)
-    return _window_warp_local(tex, ty, tx, fy, fx, ky, mode)
+        return _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, kx, mesh)
+    return _window_warp_local(tex, ty, tx, fy, fx, ky, mode, kx)
 
 
-def _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, mesh):
+def _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, kx, mesh):
     """shard_map formulation: halo-exchange ``ky + filter-reach`` rows,
     run the single-chip kernel on the extended block in shard-local
     coordinates, crop. The edge-replicated halo reproduces the global
@@ -268,7 +296,7 @@ def _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, mesh):
 
         val, flag = _window_warp_local(
             ext, pad(ty_b - row0), pad(tx_b), pad(fy_b), pad(fx_b),
-            ky, mode,
+            ky, mode, kx,
         )
         return val[halo: halo + h_loc], flag[halo: halo + h_loc]
 
@@ -281,7 +309,7 @@ def _window_warp_sharded(tex, ty, tx, fy, fx, ky, mode, mesh):
     )(tex, ty, tx, fy, fx)
 
 
-def _window_warp_local(tex, ty, tx, fy, fx, ky, mode):
+def _window_warp_local(tex, ty, tx, fy, fx, ky, mode, kx=None):
     squeeze = tex.ndim == 2
     base = tex[..., None] if squeeze else tex
     h, w = base.shape[0], base.shape[1]
@@ -303,7 +331,8 @@ def _window_warp_local(tex, ty, tx, fy, fx, ky, mode):
     fx_p = pad2(fx) if fx is not None else zero
 
     idx_spec, halo = _specs(c, br, nr, nc)
-    kern = functools.partial(_warp_kernel, ky=ky, mode=mode, c=c, h=h, w=w)
+    kern = functools.partial(_warp_kernel, ky=ky, kx=kx, mode=mode, c=c,
+                             h=h, w=w)
     val, flag = pl.pallas_call(
         kern,
         grid=(nr, nc),
@@ -333,12 +362,13 @@ def _window_warp_local(tex, ty, tx, fy, fx, ky, mode):
 # multi-target variant: N nearest fetches sharing one slab assembly
 # --------------------------------------------------------------------------
 
-def _warp_multi_kernel(ty_ref, tx_ref, *refs, ky: int, c: int, h: int,
-                       w: int, n: int):
+def _warp_multi_kernel(ty_ref, tx_ref, *refs, ky: int, kx: int | None,
+                       c: int, h: int, w: int, n: int):
     """Grid (NR, NC). ty/tx: (n, br, BC). refs: 9 halo blocks of the
     planar (C, H', W') texture, then (val (n*c, br, BC), flag (n, br, BC)).
     Nearest mode only; the slab is assembled once per channel and reused
-    by every target — the whole point vs n separate window_warp calls."""
+    by every target — the whole point vs n separate window_warp calls.
+    ``kx``: see :func:`_warp_kernel` (two-window lane-split when set)."""
     srcs = refs[:9]
     val_ref, flag_ref = refs[9], refs[10]
     i = pl.program_id(0)
@@ -349,6 +379,9 @@ def _warp_multi_kernel(ty_ref, tx_ref, *refs, ky: int, c: int, h: int,
     jj = jax.lax.broadcasted_iota(jnp.int32, (br, BC), 1)
     rr = i * br + ii
     cc = j * BC + jj
+    kxw = BC - 1 if kx is None else kx
+    left_half = jj < 64
+    o1, o2 = BC - kxw, BC + 64 - kxw
 
     # per-target lane addresses + vertical candidates (channel-invariant)
     tgt = []
@@ -357,15 +390,19 @@ def _warp_multi_kernel(ty_ref, tx_ref, *refs, ky: int, c: int, h: int,
         tx = tx_ref[t]
         dy = ty - rr
         dx = tx - cc
-        in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= BC - 1)
+        in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= kxw)
         dyv = jnp.clip(jnp.clip(jnp.clip(dy, -ky, ky), -rr, (h - 1) - rr),
                        -ky, ky)
-        dxk = jnp.clip(jnp.clip(tx, 0, w - 1) - cc, -(BC - 1), BC - 1)
+        dxk = jnp.clip(jnp.clip(tx, 0, w - 1) - cc, -kxw, kxw)
         txa = jj + dxk + BC
-        tgt.append((dyv, txa // BC - 1, txa % BC))
+        if kx is None:
+            tgt.append((dyv, txa // BC - 1, txa % BC))
+        else:
+            tgt.append((dyv, jnp.clip(txa - o1, 0, BC - 1),
+                        jnp.clip(txa - o2, 0, BC - 1)))
         flag_ref[t] = in_window.astype(jnp.float32)
 
-    def gather_h(slab_row, lq, lr):
+    def gather_3g(slab_row, lq, lr):
         out = None
         for d in (-1, 0, 1):
             grp = slab_row[:, BC * (1 + d): BC * (1 + d) + BC]
@@ -383,16 +420,27 @@ def _warp_multi_kernel(ty_ref, tx_ref, *refs, ky: int, c: int, h: int,
         accs = [jnp.zeros((br, BC), jnp.float32) for _ in range(n)]
         for v in range(-ky, ky + 1):
             row_v = slab[br + v: br + v + br]
+            if kx is not None:
+                w1 = row_v[:, o1: o1 + BC]
+                w2 = row_v[:, o2: o2 + BC]
             for t in range(n):
-                dyv, lq, lr = tgt[t]
-                g = gather_h(row_v, lq, lr)
+                if kx is None:
+                    dyv, lq, lr = tgt[t]
+                    g = gather_3g(row_v, lq, lr)
+                else:
+                    dyv, lr1, lr2 = tgt[t]
+                    g = jnp.where(
+                        left_half,
+                        jnp.take_along_axis(w1, lr1, axis=1),
+                        jnp.take_along_axis(w2, lr2, axis=1),
+                    )
                 accs[t] = jnp.where(dyv == v, g, accs[t])
         for t in range(n):
             val_ref[t * c + cidx] = accs[t]
 
 
 def window_warp_multi(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
-                      ky: int = _DEF_KY):
+                      ky: int = _DEF_KY, kx: int | None = None):
     """N nearest window fetches from one texture, slab loads shared.
 
     tex: (H, W) or (H, W, C<=8) f32. ty/tx: (N, H, W) int32 targets.
@@ -405,11 +453,11 @@ def window_warp_multi(tex: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray,
 
     mesh = row_mesh_for(int(tex.shape[0]))
     if mesh is not None:
-        return _window_warp_multi_sharded(tex, ty, tx, ky, mesh)
-    return _window_warp_multi_local(tex, ty, tx, ky)
+        return _window_warp_multi_sharded(tex, ty, tx, ky, kx, mesh)
+    return _window_warp_multi_local(tex, ty, tx, ky, kx)
 
 
-def _window_warp_multi_sharded(tex, ty, tx, ky, mesh):
+def _window_warp_multi_sharded(tex, ty, tx, ky, kx, mesh):
     import jax as _jax
     from jax.sharding import PartitionSpec as P
 
@@ -428,7 +476,7 @@ def _window_warp_multi_sharded(tex, ty, tx, ky, mesh):
             return jnp.pad(a, ((0, 0), (halo, halo), (0, 0)), mode="edge")
 
         val, flag = _window_warp_multi_local(ext, pad(ty_b - row0),
-                                             pad(tx_b), ky)
+                                             pad(tx_b), ky, kx)
         return val[:, halo: halo + h_loc], flag[:, halo: halo + h_loc]
 
     return _jax.shard_map(
@@ -439,7 +487,7 @@ def _window_warp_multi_sharded(tex, ty, tx, ky, mesh):
     )(tex, ty, tx)
 
 
-def _window_warp_multi_local(tex, ty, tx, ky):
+def _window_warp_multi_local(tex, ty, tx, ky, kx=None):
     squeeze = tex.ndim == 2
     base = tex[..., None] if squeeze else tex
     h, w = base.shape[0], base.shape[1]
@@ -464,7 +512,8 @@ def _window_warp_multi_local(tex, ty, tx, ky):
     idx_spec = pl.BlockSpec((n, br, BC), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
     halo = [mk(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
-    kern = functools.partial(_warp_multi_kernel, ky=ky, c=c, h=h, w=w, n=n)
+    kern = functools.partial(_warp_multi_kernel, ky=ky, kx=kx, c=c, h=h,
+                             w=w, n=n)
     val, flag = pl.pallas_call(
         kern,
         grid=(nr, nc),
@@ -492,13 +541,13 @@ def _window_warp_multi_local(tex, ty, tx, ky):
 
 
 def nearest_window_multi(tex: jnp.ndarray, uvs: jnp.ndarray,
-                         ky: int = _DEF_KY):
+                         ky: int = _DEF_KY, kx: int | None = None):
     """N nearest fetches at ``uvs`` (N, H, W, 2) via the multi-target
     kernel. Returns (values (N, H, W[, C]), in_window (N, H, W))."""
     h, w = tex.shape[0], tex.shape[1]
     ix = jnp.floor(uvs[..., 0] * w).astype(jnp.int32)
     iy = jnp.floor(uvs[..., 1] * h).astype(jnp.int32)
-    return window_warp_multi(tex, iy, ix, ky=ky)
+    return window_warp_multi(tex, iy, ix, ky=ky, kx=kx)
 
 
 # --------------------------------------------------------------------------
@@ -506,17 +555,19 @@ def nearest_window_multi(tex: jnp.ndarray, uvs: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def window_warp_ref(tex, ty, tx, fy=None, fx=None, ky=_DEF_KY,
-                    mode="nearest"):
+                    mode="nearest", kx=None):
     """Gather-based reference with identical semantics (per-tap frame
     clamp, then window clamp; in_window flag from the raw displacement)."""
     squeeze = tex.ndim == 2
     base = tex[..., None] if squeeze else tex
     h, w = base.shape[0], base.shape[1]
+    kxw = BC - 1 if kx is None else kx + _HALO_EXTRA[mode]
+    kxf = BC - 1 if kx is None else kx
     ys = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones_like(ty)
     xs = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones_like(tx)
     dy = ty - ys
     dx = tx - xs
-    in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= BC - 1)
+    in_window = (jnp.abs(dy) <= ky) & (jnp.abs(dx) <= kxf)
     dyc = jnp.clip(dy, -ky, ky)
 
     def row_at(bo):
@@ -524,7 +575,7 @@ def window_warp_ref(tex, ty, tx, fy=None, fx=None, ky=_DEF_KY,
                              -ky + bo_min, ky + bo_max)
 
     def col_at(k):
-        dxk = jnp.clip(jnp.clip(tx + k, 0, w - 1) - xs, -(BC - 1), BC - 1)
+        dxk = jnp.clip(jnp.clip(tx + k, 0, w - 1) - xs, -kxw, kxw)
         return xs + dxk
 
     band_off = _BAND_OFF[mode]
@@ -559,7 +610,8 @@ def window_warp_ref(tex, ty, tx, fy=None, fx=None, ky=_DEF_KY,
 # uv-level convenience wrappers (drop-in for the core.sampling fetches)
 # --------------------------------------------------------------------------
 
-def catmull_rom_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
+def catmull_rom_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY,
+                       kx: int | None = None):
     """Catmull-Rom history sample at reprojected ``uv`` via the window
     kernel (replaces `sample_catmull_rom_5tap`'s 5 packed gathers;
     `reproject.frag:212-255` semantics on the true 4x4 footprint, which
@@ -572,13 +624,14 @@ def catmull_rom_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
     y0 = jnp.floor(y)
     val, ok = window_warp(
         tex, y0.astype(jnp.int32), x0.astype(jnp.int32),
-        fy=(y - y0), fx=(x - x0), ky=ky, mode="catrom",
+        fy=(y - y0), fx=(x - x0), ky=ky, mode="catrom", kx=kx,
     )
     return jnp.maximum(val, 0.0), ok
 
 
 def catmull_rom5_window(tex: jnp.ndarray, uv: jnp.ndarray,
-                        ky: int = _DEF_KY, half: bool = True):
+                        ky: int = _DEF_KY, half: bool = True,
+                        kx: int | None = None):
     """EXACT `sample_catmull_rom_5tap` semantics via the window kernel
     (`reproject.frag:212-255`): corner-zeroed 4x4 footprint, normalized
     by the 5-tap weight total, clamped >= 0. ``half=True`` quantizes the
@@ -596,7 +649,7 @@ def catmull_rom5_window(tex: jnp.ndarray, uv: jnp.ndarray,
     fy = y - y0
     val, ok = window_warp(
         tex, y0.astype(jnp.int32), x0.astype(jnp.int32),
-        fy=fy, fx=fx, ky=ky, mode="catrom5",
+        fy=fy, fx=fx, ky=ky, mode="catrom5", kx=kx,
     )
     w0x, _, _, w3x = _crw(fx)
     w0y, _, _, w3y = _crw(fy)
@@ -606,7 +659,8 @@ def catmull_rom5_window(tex: jnp.ndarray, uv: jnp.ndarray,
     return jnp.maximum(val / total, 0.0), ok
 
 
-def bilinear_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
+def bilinear_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY,
+                    kx: int | None = None):
     """Bilinear fetch at ``uv`` via the window kernel (LinearFilter
     semantics with clamp-to-edge, like core.sampling.sample_bilinear)."""
     h, w = tex.shape[0], tex.shape[1]
@@ -618,14 +672,15 @@ def bilinear_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
     fy = jnp.where(y0 < 0.0, 0.0, y - y0)
     val, ok = window_warp(
         tex, y0.astype(jnp.int32), x0.astype(jnp.int32),
-        fy=fy, fx=fx, ky=ky, mode="bilinear",
+        fy=fy, fx=fx, ky=ky, mode="bilinear", kx=kx,
     )
     return val, ok
 
 
-def nearest_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY):
+def nearest_window(tex: jnp.ndarray, uv: jnp.ndarray, ky: int = _DEF_KY,
+                   kx: int | None = None):
     """Nearest fetch at ``uv`` via the window kernel (texelFetch)."""
     h, w = tex.shape[0], tex.shape[1]
     ix = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
     iy = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
-    return window_warp(tex, iy, ix, ky=ky, mode="nearest")
+    return window_warp(tex, iy, ix, ky=ky, mode="nearest", kx=kx)

@@ -379,7 +379,7 @@ def ssgi(
             acc16 = accumulated[..., :3].astype(
                 jnp.float16).astype(jnp.float32)
             pre_uv = uv - velocity.velocity
-            warped_acc, in_win = bilinear_window(acc16, pre_uv, ky=8)
+            warped_acc, in_win = bilinear_window(acc16, pre_uv, ky=8, kx=30)
             pre_ok = (
                 (pre_uv[..., 0] >= 0.0) & (pre_uv[..., 0] <= 1.0)
                 & (pre_uv[..., 1] >= 0.0) & (pre_uv[..., 1] <= 1.0) & in_win

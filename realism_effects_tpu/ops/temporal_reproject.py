@@ -55,13 +55,16 @@ class TemporalReprojectConfig:
     #: 3x3 closest-depth velocity dilation (the reference's ``dilation``
     #: option, `TemporalReprojectPass.js:17-19`)
     dilation: bool = False
-    #: vertical half-window (rows) for the Pallas window-warp fetches
-    #: (history Catmull-Rom + disocclusion probe); reprojections whose
-    #: vertical displacement exceeds it are treated as disocclusions
-    #: (confidence 0), the same reset the reference applies to
-    #: off-screen reprojections (`reproject.frag:130-167`). Horizontal
-    #: reach is +-127 px regardless.
+    #: window for the Pallas window-warp fetches (history Catmull-Rom +
+    #: disocclusion probe): +-window_ky rows x +-window_kx columns.
+    #: Reprojections whose displacement exceeds it are treated as
+    #: disocclusions (confidence 0), the same reset the reference applies
+    #: to off-screen reprojections (`reproject.frag:130-167`).
+    #: kx <= 30 admits the 2x cheaper lane-split gather (warp.py); the
+    #: r4 horizontal reach was +-127 px — one-frame motion beyond
+    #: +-30 px now resets instead of reprojecting.
     window_ky: int = 8
+    window_kx: int = 30
 
 
 def _transform_color(c, cfg):
@@ -101,7 +104,7 @@ def _validate_reprojected_uv(reproj_uv, depth, world_pos, world_normal,
         from .pallas.warp import nearest_window
 
         last_nd, in_win = nearest_window(
-            last_nd_packed, reproj_uv, ky=cfg.window_ky
+            last_nd_packed, reproj_uv, ky=cfg.window_ky, kx=cfg.window_kx
         )
         in_bounds = in_bounds & in_win
     else:
@@ -326,7 +329,7 @@ def temporal_reproject(
             from .pallas.warp import catmull_rom5_window
 
             acc, _ = catmull_rom5_window(
-                history[i], reproj_uv, ky=cfg.window_ky
+                history[i], reproj_uv, ky=cfg.window_ky, kx=cfg.window_kx
             )
         else:
             acc = sample_catmull_rom_5tap(history[i], reproj_uv, half=True)
